@@ -1,0 +1,224 @@
+"""Planimeter suite — reference test_cases.go:709-957 + Antarctica
+golden (readme_test.go:94-111), against both the batch kernel
+(polygon_compute) and the streaming scalar API (PolygonArea)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from geographiclib_go_spark.kernels.api import WGS84
+from geographiclib_go_spark.kernels import polygon as kpoly
+
+G = WGS84.model
+MZ = -0.0
+A0 = 510065621724088.5093  # WGS84 ellipsoid area (test_cases.go:818)
+
+
+def planimeter(points):
+    lats = np.array([p[0] for p in points])
+    lons = np.array([p[1] for p in points])
+    return kpoly.polygon_compute(G, lats, lons, polyline=False,
+                                 reverse=False, sign=True)
+
+
+def poly_length(points):
+    lats = np.array([p[0] for p in points])
+    lons = np.array([p[1] for p in points])
+    return kpoly.polygon_compute(G, lats, lons, polyline=True,
+                                 reverse=False, sign=True)
+
+
+def test_ellipsoid_area():
+    # 1 ulp at 5.1e14 is 0.0625; the reference asserts A0 to 0.5 m²
+    assert G.ellipsoid_area == pytest.approx(A0, abs=0.5)
+
+
+def test_planimeter0_pole_encircling():
+    a = planimeter([[89, 0], [89, 90], [89, 180], [89, 270]])
+    assert a["perimeter"] == pytest.approx(631819.8745, abs=1e-4)
+    assert a["area"] == pytest.approx(24952305678.0, abs=1)
+
+    a = planimeter([[-89, 0], [-89, 90], [-89, 180], [-89, 270]])
+    assert a["perimeter"] == pytest.approx(631819.8745, abs=1e-4)
+    assert a["area"] == pytest.approx(-24952305678.0, abs=1)
+
+    a = planimeter([[0, -1], [-1, 0], [0, 1], [1, 0]])
+    assert a["perimeter"] == pytest.approx(627598.2731, abs=1e-4)
+    assert a["area"] == pytest.approx(24619419146.0, abs=1)
+
+    a = planimeter([[90, 0], [0, 0], [0, 90]])
+    assert a["perimeter"] == pytest.approx(30022685, abs=1)
+    assert a["area"] == pytest.approx(63758202715511.0, abs=1)
+
+    a = poly_length([[90, 0], [0, 0], [0, 90]])
+    assert a["perimeter"] == pytest.approx(20020719, abs=1)
+    assert math.isnan(a["area"])
+
+
+def test_planimeter5_pole_crossing():
+    a = planimeter([[89, 0.1], [89, 90.1], [89, -179.9]])
+    assert a["perimeter"] == pytest.approx(539297, abs=1)
+    assert a["area"] == pytest.approx(12476152838.5, abs=1)
+
+
+def test_planimeter6_lon12_rounding():
+    for pts in ([[9, -0.00000000000001], [9, 180], [9, 0]],
+                [[9, 0.00000000000001], [9, 0], [9, 180]],
+                [[9, 0.00000000000001], [9, 180], [9, 0]],
+                [[9, -0.00000000000001], [9, 0], [9, 180]]):
+        a = planimeter(pts)
+        assert a["perimeter"] == pytest.approx(36026861, abs=1)
+        assert a["area"] == pytest.approx(0, abs=1)
+
+
+def test_planimeter12_arctic_circle():
+    a = planimeter([[66.562222222, 0], [66.562222222, 180]])
+    assert a["perimeter"] == pytest.approx(10465729, abs=1)
+    assert a["area"] == pytest.approx(0, abs=1)
+
+
+def test_planimeter12r_reverse_arctic_circle():
+    a = planimeter([[66.562222222, MZ], [66.562222222, -180],
+                    [66.562222222, -360]])
+    assert a["perimeter"] == pytest.approx(10465729, abs=1)
+    assert a["area"] == pytest.approx(0, abs=1)
+
+
+def test_planimeter13_encircle_pole_twice():
+    a = planimeter([[89, -360], [89, -240], [89, -120], [89, 0],
+                    [89, 120], [89, 240]])
+    assert a["perimeter"] == pytest.approx(1160741, abs=1)
+    assert a["area"] == pytest.approx(32415230256.0, abs=1)
+
+
+def test_planimeter15_reverse_sign_conventions():
+    lat = [2.0, 1.0, 3.0]
+    lon = [1.0, 2.0, 3.0]
+    r = 18454562325.45119
+
+    p = WGS84.polygon_area(False)
+    p.add_point(lat[0], lon[0])
+    p.add_point(lat[1], lon[1])
+
+    _, _, area = p.test_point(lat[2], lon[2], False, True)
+    assert area == pytest.approx(r, abs=0.5)
+    _, _, area = p.test_point(lat[2], lon[2], False, False)
+    assert area == pytest.approx(r, abs=0.5)
+    _, _, area = p.test_point(lat[2], lon[2], True, True)
+    assert area == pytest.approx(-r, abs=0.5)
+    _, _, area = p.test_point(lat[2], lon[2], True, False)
+    assert area == pytest.approx(A0 - r, abs=0.5)
+
+    inv = WGS84.inverse(lat[1], lon[1], lat[2], lon[2])
+    for rev, sgn, want in ((False, True, r), (False, False, r),
+                           (True, True, -r), (True, False, A0 - r)):
+        _, _, area = p.test_edge(inv.azi1, inv.s12, rev, sgn)
+        assert area == pytest.approx(want, abs=0.5)
+
+    p.add_point(lat[2], lon[2])
+    for rev, sgn, want in ((False, True, r), (False, False, r),
+                           (True, True, -r), (True, False, A0 - r)):
+        _, _, area = p.compute(rev, sgn)
+        assert area == pytest.approx(want, abs=0.5)
+
+    # batch kernel agrees on all four conventions
+    for rev, sgn, want in ((False, True, r), (False, False, r),
+                           (True, True, -r), (True, False, A0 - r)):
+        a = kpoly.polygon_compute(G, np.array(lat), np.array(lon),
+                                  polyline=False, reverse=rev, sign=sgn)
+        assert a["area"] == pytest.approx(want, abs=0.5)
+
+
+def test_planimeter19_degenerate():
+    p = WGS84.polygon_area(False)
+    num, per, area = p.compute(False, True)
+    assert area == 0 and per == 0
+    num, per, area = p.test_point(1, 1, False, True)
+    assert area == 0 and per == 0
+    num, per, area = p.test_edge(90, 1000, False, True)
+    assert math.isnan(area) and math.isnan(per)
+    p.add_point(1, 1)
+    num, per, area = p.compute(False, True)
+    assert area == 0 and per == 0
+
+    pl = WGS84.polygon_area(True)
+    _, per, _ = pl.compute(False, True)
+    assert per == 0
+    _, per, _ = pl.test_point(1, 1, False, True)
+    assert per == 0
+    _, per, _ = pl.test_edge(90, 1000, False, True)
+    assert math.isnan(per)
+    pl.add_point(1, 1)
+    _, per, _ = pl.compute(False, True)
+    assert per == 0
+    _, per, _ = pl.test_edge(90, 1000, False, True)
+    assert per == pytest.approx(1000, abs=1e-10)
+    _, per, _ = pl.test_point(2, 2, False, True)
+    assert per == pytest.approx(156876.149, abs=0.5e-3)
+
+
+def test_planimeter21_multiple_circlings():
+    lat = 45.0
+    azi = 39.2144607176828184218
+    s = 8420705.40957178156285
+    r = 39433884866571.4277
+    p = WGS84.polygon_area(False)
+    for _ in range(2):
+        p.add_point(lat, 60)
+        p.add_point(lat, 180)
+        p.add_point(lat, -60)
+    for i in (3.0, 4.0):
+        p.add_point(lat, 60)
+        p.add_point(lat, 180)
+        for rev, sgn, want in ((False, True, i * r), (False, False, i * r),
+                               (True, True, -i * r),
+                               (True, False, -i * r + A0)):
+            _, _, area = p.test_point(lat, -60, rev, sgn)
+            assert area == pytest.approx(want, abs=0.5)
+            _, _, area = p.test_edge(azi, s, rev, sgn)
+            assert area == pytest.approx(want, abs=0.5)
+        p.add_point(lat, -60)
+        for rev, sgn, want in ((False, True, i * r), (False, False, i * r),
+                               (True, True, -i * r),
+                               (True, False, -i * r + A0)):
+            _, _, area = p.compute(rev, sgn)
+            assert area == pytest.approx(want, abs=0.5)
+
+
+def test_planimeter29_add_edge_transit():
+    p = WGS84.polygon_area(False)
+    p.add_point(0, 0)
+    p.add_edge(90, 1000)
+    p.add_edge(0, 1000)
+    p.add_edge(-90, 1000)
+    _, _, area = p.compute(False, True)
+    assert area == pytest.approx(1000000.0, abs=0.01)
+
+
+ANTARCTICA = [
+    [-63.1, -58], [-72.9, -74], [-71.9, -102], [-74.9, -102],
+    [-74.3, -131], [-77.5, -163], [-77.4, 163], [-71.7, 172],
+    [-65.9, 140], [-65.7, 113], [-66.6, 88], [-66.9, 59], [-69.8, 25],
+    [-70.0, -4], [-71.0, -14], [-77.3, -33], [-77.9, -46], [-74.7, -61],
+]
+
+
+def test_antarctica_golden():
+    a = planimeter(ANTARCTICA)
+    assert a["perimeter"] == pytest.approx(16831067.893, abs=1e-3)
+    assert a["area"] == pytest.approx(13662703680020.1, abs=1e-1)
+    # streaming scalar API agrees
+    p = WGS84.polygon_area(False)
+    for la, lo in ANTARCTICA:
+        p.add_point(la, lo)
+    _, per, area = p.compute(False, True)
+    assert per == pytest.approx(16831067.893, abs=1e-3)
+    assert area == pytest.approx(13662703680020.1, abs=1e-1)
+
+
+def test_dd_accumulation_matches_fsum():
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 1e12, 10000)
+    hi, lo = kpoly.dd_sum_array(vals)
+    assert hi == pytest.approx(math.fsum(vals.tolist()), abs=1e-3)
