@@ -107,7 +107,8 @@ def gen_position(g: GeodesicModel, L: dict, arcmode: bool, s12_a12,
     else:
         out["s12"] = np.broadcast_to(s12_a12, n).copy()
         tau12 = s12_a12 / (g.b * (1 + L["a1m1"]))
-        s, c = np.sin(tau12), np.cos(tau12)
+        with np.errstate(invalid="ignore"):  # inf distance → NaN result
+            s, c = np.sin(tau12), np.cos(tau12)
         b12 = -gm.sin_cos_series(
             True, L["stau1"] * c + L["ctau1"] * s,
             L["ctau1"] * c - L["stau1"] * s, L["c1pa"])

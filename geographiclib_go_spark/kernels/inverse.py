@@ -172,8 +172,9 @@ def _inverse_start(g: GeodesicModel, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                 sb2, cb2, dn2a, cb1, cb2, C.REDUCED_LENGTH)
             t = cb1 * cb2 * m0 * np.pi
             x = -1 + m12b / t
-            betscale = np.where(x < -0.01, sb12a / x,
-                                -g.f * gm.sq(cb1) * np.pi)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                betscale = np.where(x < -0.01, sb12a / x,
+                                    -g.f * gm.sq(cb1) * np.pi)
             lamscale = betscale / cb1
             y = lam12x / lamscale
 
