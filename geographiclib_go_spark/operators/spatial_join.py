@@ -1,0 +1,261 @@
+"""Spatial joins: cell-prefilter + geodesic-refine (engine-added).
+
+Three join shapes over the cell index (operators/cells.py) with the
+inverse geodesic kernel (inverse.go:30-355) as the exact predicate:
+
+- distance_join: classic filter-refine — equi-join on cell cover of
+  each query's radius cap, then ``filter(s12 <= radius)``.  The cover
+  is exploded ring cells; Catalyst turns the cell match into a hash
+  join (broadcast when the query side is small — made explicit via
+  hint, per the north rule).
+- knn_join: iterative ring expansion.  Each round joins the unresolved
+  queries' ring cover against points, takes top-k per query via a
+  window, and resolves queries whose kth distance is below the ring
+  lower bound (validated in tests against the kernel).  Spark has no
+  native kNN join; the loop is driver-coordinated but every step is a
+  declarative DataFrame plan.
+- pip_join: polygon cover cells (driver-planned, broadcast) ->
+  equi-join -> exact point-in-polygon refine.
+
+All kernels run as Arrow pandas UDFs; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geographiclib_go_spark.kernels import caps as C
+from geographiclib_go_spark.kernels.geodesic import (
+    GeodesicModel, WGS84_A, WGS84_F)
+from geographiclib_go_spark.functions.geodesic_udfs import make_inverse_udf
+from geographiclib_go_spark.operators import cells as kcells
+from geographiclib_go_spark.operators import pip as kpip
+
+
+def cell_udf(res: int):
+    @pandas_udf(T.LongType())
+    def cell_of(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        c = kcells.cell_from_latlon(lat.to_numpy(np.float64),
+                                    lon.to_numpy(np.float64), res)
+        return pd.Series(c)
+    return cell_of
+
+
+def ring_cover_udf(res: int, rings: int):
+    """array<long> of all cells within `rings` of the point's cell."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cover_of(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        base = kcells.cell_from_latlon(lat.to_numpy(np.float64),
+                                       lon.to_numpy(np.float64), res)
+        # expand per unique cell, then map back (queries often cluster)
+        uniq, inv = np.unique(base, return_inverse=True)
+        covers = [kcells.ring_expand(np.array([c]), res, rings).tolist()
+                  for c in uniq]
+        return pd.Series([covers[i] for i in inv])
+    return cover_of
+
+
+def with_cell(df: DataFrame, res: int, lat_col: str = "lat",
+              lon_col: str = "lon", out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_udf(res)(F.col(lat_col), F.col(lon_col)))
+
+
+def plan_radius(radius_m: float, a: float = WGS84_A,
+                f: float = WGS84_F) -> tuple:
+    """(res, rings) such that ring cover of a query cell contains every
+    point within radius_m — chooses the finest resolution that keeps
+    the ring count <= 3 (cover size <= 49 cells/query)."""
+    g = GeodesicModel(a, f)
+    for res in range(16, 1, -1):
+        w = kcells.min_cell_width_rad(res) * g.b
+        rings = math.ceil(radius_m / w) + 1
+        if rings <= 3:
+            return res, rings
+    return 2, 3
+
+
+def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
+                  res: int = None, rings: int = None,
+                  a: float = WGS84_A, f: float = WGS84_F,
+                  point_cols=("lat", "lon"), query_cols=("lat", "lon"),
+                  broadcast_queries: bool = None) -> DataFrame:
+    """All (query, point) pairs with geodesic s12 <= radius_m.
+
+    Output: query columns (prefixed q_), point columns, s12.
+    """
+    if res is None or rings is None:
+        res, rings = plan_radius(radius_m, a, f)
+
+    pts = with_cell(points, res, *point_cols, out="_cell")
+    q = queries
+    for c in q.columns:
+        q = q.withColumnRenamed(c, f"q_{c}")
+    q = q.withColumn(
+        "_qcover",
+        ring_cover_udf(res, rings)(F.col(f"q_{query_cols[0]}"),
+                                   F.col(f"q_{query_cols[1]}")))
+    q = q.withColumn("_cell", F.explode("_qcover")).drop("_qcover")
+
+    # explicit join-strategy selection (north rule): broadcast the
+    # exploded query cover when it is small, else sort-merge
+    if broadcast_queries is None:
+        broadcast_queries = _estimate_small(q)
+    qj = F.broadcast(q) if broadcast_queries else q.hint("merge")
+
+    inv = make_inverse_udf(a, f, C.DISTANCE)
+    joined = pts.join(qj, "_cell", "inner")
+    joined = joined.withColumn(
+        "s12",
+        inv(F.col(f"q_{query_cols[0]}"), F.col(f"q_{query_cols[1]}"),
+            F.col(point_cols[0]), F.col(point_cols[1]))["s12"])
+    out = joined.filter(F.col("s12") <= F.lit(float(radius_m)))
+    # the exploded cover can pair a (query, point) twice only if a point
+    # cell appears in two cover rows of the same query — it cannot
+    # (cover cells are distinct per query), so no dedup is needed.
+    return out.drop("_cell")
+
+
+def _estimate_small(df: DataFrame, limit_rows: int = 200_000) -> bool:
+    """Cheap cardinality probe for the broadcast decision; logged via
+    plan comments.  At cluster scale this reads table statistics; in
+    sandbox we bound with a count on a sample."""
+    try:
+        n = df.limit(limit_rows + 1).count()
+        return n <= limit_rows
+    except Exception:
+        return False
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int,
+             res: int = None, a: float = WGS84_A, f: float = WGS84_F,
+             point_cols=("lat", "lon"), query_cols=("lat", "lon"),
+             id_col: str = "qid", max_rounds: int = 6) -> DataFrame:
+    """k nearest points for each query row (geodesic distance).
+
+    Returns q_* columns + point columns + s12 + rank (1..k).
+    Ring-expansion: resolved queries drop out each round; the
+    termination bound is cells.ring_bound_m (conservative vs the
+    kernel, see tests/test_cells.py).
+    """
+    g = GeodesicModel(a, f)
+    if res is None:
+        # aim for ~k points per 3x3 neighborhood under uniform density:
+        # callers with skewed data should pass res explicitly
+        n_pts = points.count()
+        density_width = 2.0 * math.sqrt(4 * math.pi / max(n_pts / max(k, 1), 1))
+        res = kcells.pick_resolution(density_width * g.b, g.b)
+
+    q = queries
+    for c in q.columns:
+        q = q.withColumnRenamed(c, f"q_{c}")
+    qid = f"q_{id_col}"
+    qlat, qlon = f"q_{query_cols[0]}", f"q_{query_cols[1]}"
+
+    pts = with_cell(points, res, *point_cols, out="_cell").cache()
+    inv = make_inverse_udf(a, f, C.DISTANCE)
+
+    unresolved = q
+    results = []
+    rings = 1
+    for round_no in range(max_rounds):
+        if unresolved.isEmpty():
+            break
+        cover = unresolved.withColumn(
+            "_qcover", ring_cover_udf(res, rings)(F.col(qlat), F.col(qlon)))
+        cover = cover.withColumn("_cell", F.explode("_qcover")) \
+                     .drop("_qcover")
+        cand = pts.join(F.broadcast(cover), "_cell", "inner")
+        cand = cand.withColumn(
+            "s12", inv(F.col(qlat), F.col(qlon),
+                       F.col(point_cols[0]), F.col(point_cols[1]))["s12"])
+        w = Window.partitionBy(qid).orderBy(F.col("s12").asc())
+        topk = cand.withColumn("rank", F.row_number().over(w)) \
+                   .filter(F.col("rank") <= k).drop("_cell")
+
+        bound = kcells.ring_bound_m(res, rings, g.b)
+        stats = topk.groupBy(qid).agg(
+            F.count("*").alias("_n"), F.max("s12").alias("_kth"))
+        done_ids = stats.filter(
+            (F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound))) \
+            .select(qid)
+        results.append(topk.join(F.broadcast(done_ids), qid, "left_semi"))
+        unresolved = unresolved.join(F.broadcast(done_ids), qid,
+                                     "left_anti")
+        rings *= 2
+
+    if not unresolved.isEmpty():
+        # brute-force fallback for the stragglers (poles, empty regions)
+        cand = unresolved.crossJoin(points)
+        cand = cand.withColumn(
+            "s12", inv(F.col(qlat), F.col(qlon),
+                       F.col(point_cols[0]), F.col(point_cols[1]))["s12"])
+        w = Window.partitionBy(qid).orderBy(F.col("s12").asc())
+        results.append(cand.withColumn("rank", F.row_number().over(w))
+                       .filter(F.col("rank") <= k))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r, allowMissingColumns=True)
+    return out
+
+
+def make_pip_udf(polygons: dict):
+    """pip(poly_id, lat, lon) -> bool; `polygons` maps poly_id ->
+    (lats tuple, lons tuple), captured in the closure (broadcast-sized
+    catalogs only — the polygon table is a dim table by design)."""
+    polys = {int(k): (np.asarray(v[0], dtype=np.float64),
+                      np.asarray(v[1], dtype=np.float64))
+             for k, v in polygons.items()}
+
+    @pandas_udf(T.BooleanType())
+    def pip(poly_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+        pid = poly_id.to_numpy(np.int64)
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        out = np.zeros(len(pid), dtype=bool)
+        for p in np.unique(pid):
+            m = pid == p
+            rla, rlo = polys[int(p)]
+            out[m] = kpip.points_in_ring(la[m], lo[m], rla, rlo)
+        return pd.Series(out)
+
+    return pip
+
+
+def polygon_cover_df(spark: SparkSession, polygons: dict, res: int,
+                     pad_rings: int = 1) -> DataFrame:
+    """Driver-planned (poly_id, cell) cover table — the engine's
+    cell-cover planner (SURVEY.md 4.2)."""
+    rows = []
+    for pid, (lats, lons) in polygons.items():
+        for c in kpip.ring_cells(lats, lons, res, pad_rings).tolist():
+            rows.append((int(pid), c))
+    return spark.createDataFrame(
+        rows, T.StructType([T.StructField("poly_id", T.LongType(), False),
+                            T.StructField("_cell", T.LongType(), False)]))
+
+
+def pip_join(points: DataFrame, polygons: dict, res: int = 8,
+             point_cols=("lat", "lon")) -> DataFrame:
+    """Points annotated with the polygons containing them.
+
+    polygons: poly_id -> (lats, lons) closed-ring vertex sequences.
+    Plan: broadcast cover equi-join -> exact PIP refine (filter).
+    """
+    spark = points.sparkSession
+    cover = polygon_cover_df(spark, polygons, res)
+    pts = with_cell(points, res, *point_cols, out="_cell")
+    pip = make_pip_udf(polygons)
+    joined = pts.join(F.broadcast(cover), "_cell", "inner")
+    out = joined.filter(pip(F.col("poly_id"),
+                            F.col(point_cols[0]), F.col(point_cols[1])))
+    return out.drop("_cell")

@@ -1,0 +1,238 @@
+"""Synthetic north-rule input table: image + caption rows.
+
+Schema per BASELINE.json input_hint: (image_id string, bytes binary,
+w int, h int, fmt string, caption string, phash long), plus derived
+placement columns (lat, lon) computed deterministically from phash so
+every image is a point feature.
+
+Everything is deterministic from image_id (splitmix64 chains), so any
+partition can be regenerated idempotently — the property the resume /
+lineage layer relies on.  Pixels use an uncompressed PPM codec (P6)
+written in numpy (no image libraries in the sandbox); the "jpeg-sim"
+variant quantizes pixels to simulate a lossy codec and is checked with
+the PSNR >= 40 dB invariant.  Generation runs distributed via
+mapInPandas over spark.range — no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("caption", T.StringType(), False),
+    T.StructField("phash", T.LongType(), False),
+    T.StructField("lat", T.DoubleType(), False),
+    T.StructField("lon", T.DoubleType(), False),
+])
+
+_ADJECTIVES = ("quiet", "bright", "ancient", "misty", "golden", "stormy",
+               "frozen", "emerald", "crimson", "silver")
+_NOUNS = ("harbor", "ridge", "forest", "plateau", "lagoon", "glacier",
+          "dune", "valley", "reef", "steppe")
+
+# 3 hot discs (lat, lon) for the skew stratum — exercise salting
+HOT_CENTERS = ((40.7, -74.0), (51.5, -0.1), (35.7, 139.7))
+HOT_RADIUS_DEG = 0.5
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Public-domain splitmix64 mix function, vectorized on uint64."""
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    """uint64 -> float64 in [0, 1)."""
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _pixels_for(ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels, shape (n, h, w, 3) uint8: a smooth field
+    seeded per image (cheap, reproducible, compressible-ish)."""
+    n = ids.size
+    s1 = splitmix64(ids)
+    s2 = splitmix64(s1)
+    s3 = splitmix64(s2)
+    fx = 1 + (s1 % np.uint64(5)).astype(np.float64)
+    fy = 1 + (s2 % np.uint64(5)).astype(np.float64)
+    ph = _unit(s3) * 2 * np.pi
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.sin(fx[:, None, None] * xx[None] * (2 * np.pi / w)
+                  + ph[:, None, None]) \
+        + np.cos(fy[:, None, None] * yy[None] * (2 * np.pi / h))
+    base = ((base + 2) / 4 * 255).astype(np.uint8)
+    out = np.stack([base,
+                    np.roll(base, w // 3, axis=2),
+                    np.roll(base, h // 3, axis=1)], axis=-1)
+    return out
+
+
+def ppm_encode(pix: np.ndarray) -> bytes:
+    """P6 PPM (uncompressed, lossless)."""
+    h, w = pix.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+
+
+def ppm_decode(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    parts = data.split(b"\n", 3)
+    w, h = (int(v) for v in parts[1].split())
+    return np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def jpegsim_encode(pix: np.ndarray, q: int = 8) -> bytes:
+    """Lossy-sim codec: quantize channels to q-level steps and store as
+    PPM payload behind a JSIM header.  PSNR vs original >= 40 dB for
+    q <= 8 (quantization error <= q/2 per channel)."""
+    step = max(1, 256 // (256 // q))  # = q
+    qpix = ((pix.astype(np.int32) // q) * q + q // 2).clip(0, 255)
+    return b"JSIM\n" + ppm_encode(qpix.astype(np.uint8))
+
+
+def jpegsim_decode(data: bytes) -> np.ndarray:
+    if not data.startswith(b"JSIM\n"):
+        raise ValueError("not a jpeg-sim payload")
+    return ppm_decode(data[5:])
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode any supported codec.  Real still-image codecs (jpeg/png)
+    need libraries absent from this sandbox; the Spark-side plumbing
+    (binary column, batch decode, PSNR check) is identical."""
+    if fmt == "ppm":
+        return ppm_decode(data)
+    if fmt == "jpeg-sim":
+        return jpegsim_decode(data)
+    raise NotImplementedError(f"codec {fmt!r} not available in sandbox")
+
+
+def phash64(pix: np.ndarray) -> np.int64:
+    """64-bit perceptual hash: 8x8 mean-pool of the luma plane,
+    bit = cell > global mean (average-hash construction)."""
+    luma = pix.astype(np.float64).mean(axis=-1)
+    h, w = luma.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    pooled = luma[:8 * bh, :8 * bw].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (pooled > pooled.mean()).ravel()
+    v = np.uint64(0)
+    for b in bits:
+        v = (v << np.uint64(1)) | np.uint64(bool(b))
+    return np.int64(v.astype(np.int64))
+
+
+def latlon_from_phash(phash: np.ndarray) -> tuple:
+    """Deterministic area-uniform placement from phash (FIXTURES.md §3):
+    lat = asin(2u-1) in degrees, lon = 360v - 180."""
+    hu = splitmix64(phash.astype(np.uint64))
+    hv = splitmix64(hu)
+    u = _unit(hu)
+    v = _unit(hv)
+    lat = np.degrees(np.arcsin(2 * u - 1))
+    lon = 360 * v - 180
+    return lat, lon
+
+
+def _caption_for(ids: np.ndarray, lat: np.ndarray,
+                 lon: np.ndarray) -> list:
+    s = splitmix64(ids ^ np.uint64(0xC0FFEE))
+    adj = (s % np.uint64(len(_ADJECTIVES))).astype(np.int64)
+    noun = ((s >> np.uint64(8)) % np.uint64(len(_NOUNS))).astype(np.int64)
+    return [f"{_ADJECTIVES[a]} {_NOUNS[nn]} near ({la:.3f},{lo:.3f})"
+            for a, nn, la, lo in zip(adj, noun, lat, lon)]
+
+
+def generate_images(spark: SparkSession, n: int, skew_pct: int = 3,
+                    sizes=(16, 32), lossy_pct: int = 30,
+                    partitions: int = None) -> DataFrame:
+    """Distributed deterministic generation of the images table.
+
+    skew_pct percent of rows are forced into 3 hot discs (HOT_CENTERS)
+    to exercise hot-cell salting; lossy_pct percent use the jpeg-sim
+    codec.
+    """
+    partitions = partitions or max(spark.sparkContext.defaultParallelism,
+                                   4)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64).astype(np.uint64)
+            n_b = ids.size
+            if n_b == 0:
+                continue
+            size_pick = (splitmix64(ids ^ np.uint64(7))
+                         % np.uint64(len(sizes))).astype(np.int64)
+            lossy = (splitmix64(ids ^ np.uint64(13))
+                     % np.uint64(100)) < np.uint64(lossy_pct)
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                    "caption", "phash", "lat", "lon")}
+            # group by size so pixel generation vectorizes per size
+            for si, wh in enumerate(sizes):
+                m = size_pick == si
+                if not m.any():
+                    continue
+                sub = ids[m]
+                pix = _pixels_for(sub, wh, wh)
+                sub_lossy = lossy[m]
+                for t, sid in enumerate(sub):
+                    p = pix[t]
+                    if sub_lossy[t]:
+                        data = jpegsim_encode(p)
+                        fmt = "jpeg-sim"
+                        ph = phash64(jpegsim_decode(data))
+                    else:
+                        data = ppm_encode(p)
+                        fmt = "ppm"
+                        ph = phash64(p)
+                    rows["image_id"].append(f"img_{int(sid):012d}")
+                    rows["bytes"].append(data)
+                    rows["w"].append(wh)
+                    rows["h"].append(wh)
+                    rows["fmt"].append(fmt)
+                    rows["phash"].append(int(ph))
+            ph_arr = np.array(rows["phash"], dtype=np.int64)
+            id_arr = np.array(
+                [int(s.split("_")[1]) for s in rows["image_id"]],
+                dtype=np.uint64)
+            lat, lon = latlon_from_phash(ph_arr)
+            # skew stratum: force a deterministic slice into hot discs
+            hot = (splitmix64(id_arr ^ np.uint64(99)) % np.uint64(100)
+                   ) < np.uint64(skew_pct)
+            which = (splitmix64(id_arr ^ np.uint64(101))
+                     % np.uint64(len(HOT_CENTERS))).astype(np.int64)
+            du = _unit(splitmix64(id_arr ^ np.uint64(103)))
+            dv = _unit(splitmix64(id_arr ^ np.uint64(107)))
+            hc = np.array(HOT_CENTERS)
+            lat = np.where(hot, hc[which, 0]
+                           + (du - 0.5) * 2 * HOT_RADIUS_DEG, lat)
+            lon = np.where(hot, hc[which, 1]
+                           + (dv - 0.5) * 2 * HOT_RADIUS_DEG, lon)
+            rows["lat"] = lat.tolist()
+            rows["lon"] = lon.tolist()
+            rows["caption"] = _caption_for(id_arr, lat, lon)
+            yield pd.DataFrame(rows)
+
+    return (spark.range(0, n, 1, partitions)
+            .mapInPandas(gen, IMAGES_SCHEMA))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10 * np.log10(255.0 ** 2 / mse)

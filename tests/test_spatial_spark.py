@@ -1,0 +1,215 @@
+"""End-to-end Spark spatial operators vs brute-force oracles on small
+data: distance join, kNN join, PIP join, tiling/salting, distributed
+polygon aggregation, and the images source invariants."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from geographiclib_go_spark.kernels import caps as C
+from geographiclib_go_spark.kernels import inverse as kinverse
+from geographiclib_go_spark.kernels.geodesic import wgs84_model
+from geographiclib_go_spark.operators import spatial_join as sj
+from geographiclib_go_spark.operators import tiling
+from geographiclib_go_spark.operators import pip as kpip
+from geographiclib_go_spark.sources import images as im
+
+G = wgs84_model()
+RNG = np.random.default_rng(5)
+
+
+def _points_pdf(n, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "pid": np.arange(n),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+        "lon": rng.uniform(-180, 180, n),
+    })
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    return spark.createDataFrame(_points_pdf(4000)).cache()
+
+
+@pytest.fixture(scope="module")
+def queries_pdf():
+    rng = np.random.default_rng(17)
+    q = pd.DataFrame({
+        "qid": np.arange(25),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, 25))),
+        "lon": rng.uniform(-180, 180, 25),
+    })
+    # adversarial probes: poles + dateline
+    q.loc[0, ["lat", "lon"]] = (89.99, 10.0)
+    q.loc[1, ["lat", "lon"]] = (-89.99, -170.0)
+    q.loc[2, ["lat", "lon"]] = (0.0, 179.999)
+    return q
+
+
+def _brute_pairs(qpdf, ppdf, radius):
+    out = []
+    for _, qr in qpdf.iterrows():
+        inv = kinverse.inverse(
+            G, np.full(len(ppdf), qr.lat), np.full(len(ppdf), qr.lon),
+            ppdf.lat.to_numpy(), ppdf.lon.to_numpy(), C.DISTANCE)
+        m = inv["s12"] <= radius
+        for pid, s in zip(ppdf.pid.to_numpy()[m], inv["s12"][m]):
+            out.append((int(qr.qid), int(pid), float(s)))
+    return set((q, p) for q, p, _ in out)
+
+
+def test_distance_join_matches_brute_force(spark, points_df, queries_pdf):
+    radius = 500e3
+    qdf = spark.createDataFrame(queries_pdf)
+    got = sj.distance_join(points_df, qdf, radius).select(
+        "q_qid", "pid", "s12").toPandas()
+    got_pairs = set(zip(got.q_qid.astype(int), got.pid.astype(int)))
+    want_pairs = _brute_pairs(queries_pdf, _points_pdf(4000), radius)
+    assert got_pairs == want_pairs
+    # no duplicate pairs from the cover explode
+    assert len(got) == len(got_pairs)
+
+
+def test_knn_join_matches_brute_force(spark, points_df, queries_pdf):
+    k = 5
+    ppdf = _points_pdf(4000)
+    qdf = spark.createDataFrame(queries_pdf)
+    got = sj.knn_join(points_df, qdf, k=k, res=4).select(
+        "q_qid", "pid", "s12", "rank").toPandas()
+    for _, qr in queries_pdf.iterrows():
+        inv = kinverse.inverse(
+            G, np.full(len(ppdf), qr.lat), np.full(len(ppdf), qr.lon),
+            ppdf.lat.to_numpy(), ppdf.lon.to_numpy(), C.DISTANCE)
+        order = np.argsort(inv["s12"], kind="stable")[:k]
+        want = set(ppdf.pid.to_numpy()[order].tolist())
+        sub = got[got.q_qid == qr.qid]
+        assert len(sub) == k, f"qid {qr.qid}: got {len(sub)} rows"
+        # compare by distance set (ties can reorder ids legitimately)
+        want_d = np.sort(inv["s12"][order])
+        got_d = np.sort(sub.s12.to_numpy())
+        assert np.allclose(got_d, want_d, rtol=0, atol=1e-6), qr.qid
+
+
+ANTARCTICA = (
+    [-63.1, -72.9, -71.9, -74.9, -74.3, -77.5, -77.4, -71.7, -65.9,
+     -65.7, -66.6, -66.9, -69.8, -70.0, -71.0, -77.3, -77.9, -74.7],
+    [-58, -74, -102, -102, -131, -163, 163, 172, 140, 113, 88, 59, 25,
+     -4, -14, -33, -46, -61],
+)
+POLE_RING_N = ([89.0, 89.0, 89.0, 89.0], [0.0, 90.0, 180.0, 270.0])
+BOX_DATELINE = ([10.0, 10.0, -10.0, -10.0], [170.0, -170.0, -170.0, 170.0])
+
+
+def test_points_in_ring_fixtures():
+    # Antarctica contains the S pole region
+    assert kpip.points_in_ring([-80.0], [0.0], *ANTARCTICA)[0]
+    assert not kpip.points_in_ring([-60.0], [0.0], *ANTARCTICA)[0]
+    assert not kpip.points_in_ring([40.0], [10.0], *ANTARCTICA)[0]
+    # north pole ring
+    assert kpip.points_in_ring([89.5], [45.0], *POLE_RING_N)[0]
+    assert not kpip.points_in_ring([88.0], [45.0], *POLE_RING_N)[0]
+    # dateline-straddling box
+    assert kpip.points_in_ring([0.0], [179.0], *BOX_DATELINE)[0]
+    assert kpip.points_in_ring([0.0], [-179.0], *BOX_DATELINE)[0]
+    assert not kpip.points_in_ring([0.0], [0.0], *BOX_DATELINE)[0]
+    assert not kpip.points_in_ring([20.0], [179.0], *BOX_DATELINE)[0]
+
+
+def test_pip_join_matches_brute_force(spark, points_df):
+    polys = {1: ANTARCTICA, 2: POLE_RING_N, 3: BOX_DATELINE}
+    got = sj.pip_join(points_df, polys, res=5).select(
+        "poly_id", "pid").toPandas()
+    got_pairs = set(zip(got.poly_id.astype(int), got.pid.astype(int)))
+    ppdf = _points_pdf(4000)
+    want = set()
+    for pid_, (la, lo) in polys.items():
+        inside = kpip.points_in_ring(ppdf.lat.to_numpy(),
+                                     ppdf.lon.to_numpy(), la, lo)
+        for p in ppdf.pid.to_numpy()[inside]:
+            want.add((pid_, int(p)))
+    assert got_pairs == want
+
+
+def test_polygon_area_agg_spark(spark):
+    vr = []
+    for i, (la, lo) in enumerate(zip(*ANTARCTICA)):
+        vr.append((1, i, float(la), float(lo)))
+    for i, (la, lo) in enumerate(zip(*POLE_RING_N)):
+        vr.append((2, i, float(la), float(lo)))
+    vdf = spark.createDataFrame(vr, "poly_id long, seq int, lat double, lon double")
+    got = {r.poly_id: r for r in
+           tiling.polygon_area_agg(vdf).collect()}
+    assert got[1].perimeter == pytest.approx(16831067.893, abs=1e-3)
+    assert got[1].area == pytest.approx(13662703680020.1, abs=1e-1)
+    assert got[2].area == pytest.approx(24952305678.0, abs=1)
+
+    # distributed (hi,lo) partial+final path agrees
+    got2 = {r.poly_id: r for r in
+            tiling.polygon_area_distributed(vdf).collect()}
+    assert got2[1].perimeter == pytest.approx(16831067.893, abs=1e-3)
+    assert got2[1].area == pytest.approx(13662703680020.1, abs=1e-1)
+    assert got2[2].area == pytest.approx(24952305678.0, abs=1)
+
+
+def test_tile_assignment_deterministic(spark, points_df):
+    t1 = tiling.assign_tiles(points_df, 7).select("pid", "tile_id")
+    t2 = tiling.assign_tiles(points_df, 7).select("pid", "tile_id")
+    assert t1.exceptAll(t2).isEmpty() and t2.exceptAll(t1).isEmpty()
+
+
+def test_salting_spreads_hot_keys(spark):
+    pdf = pd.DataFrame({"k": [1] * 5000 + list(range(2, 1000)),
+                        "v": 1.0})
+    df = spark.createDataFrame(pdf)
+    hot = tiling.detect_hot_keys(df, "k", threshold_ratio=0.01,
+                                 min_rows=100)
+    assert hot == [1]
+    salted = tiling.salt_hot_keys(df, "k", hot, salt_factor=8)
+    n_salted = (salted.filter(F.col("k") == 1)
+                .select("salted_key").distinct().count())
+    assert n_salted == 8
+    # non-hot keys unchanged
+    assert (salted.filter(F.col("k") == 5)
+            .select("salted_key").distinct().count()) == 1
+
+
+def test_images_source_invariants(spark):
+    df = im.generate_images(spark, 500, skew_pct=5).cache()
+    rows = df.collect()
+    assert len(rows) == 500
+    ids = sorted(r.image_id for r in rows)
+    assert ids[0] == "img_000000000000"
+    by_id = {r.image_id: r for r in rows}
+    # determinism: regenerate and compare a sample row exactly
+    df2 = im.generate_images(spark, 500, skew_pct=5)
+    r2 = {r.image_id: r for r in df2.collect()}
+    for iid in list(by_id)[:20]:
+        a, b = by_id[iid], r2[iid]
+        assert bytes(a.bytes) == bytes(b.bytes)
+        assert a.caption == b.caption and a.phash == b.phash
+        assert a.lat == b.lat and a.lon == b.lon
+    # per-row invariants (input_hint): decode + PSNR + caption equality
+    for r in rows[:100]:
+        pix = im.decode_image(bytes(r.bytes), r.fmt)
+        assert pix.shape == (r.h, r.w, 3)
+        if r.fmt == "ppm":
+            # lossless: re-encode must be identical
+            assert im.ppm_encode(pix) == bytes(r.bytes)
+        else:
+            # lossy: PSNR vs the deterministic original >= 40 dB
+            orig = im._pixels_for(
+                np.array([int(r.image_id.split("_")[1])],
+                         dtype=np.uint64), r.w, r.h)[0]
+            assert im.psnr(orig, pix) >= 40.0
+        assert f"({r.lat:.3f},{r.lon:.3f})" in r.caption
+    # skew stratum present: some rows inside hot discs
+    hot = [r for r in rows
+           if any(abs(r.lat - c[0]) <= im.HOT_RADIUS_DEG
+                  and abs(r.lon - c[1]) <= im.HOT_RADIUS_DEG
+                  for c in im.HOT_CENTERS)]
+    assert len(hot) >= 10
