@@ -1,38 +1,68 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship spatial pipeline on sf0.001.
+queries()     — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  — matching DuckDB SQL for every SQL-expressible query;
+                kernel-only / LSH / ANN entries are rows-only checked
+                (their exactness is gated by the pytest suites:
+                GeodTest-style kernel conformance, brute-force join
+                oracles, LSH recall assertions).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from geographiclib_go_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sphere kNN join (ring-expansion, Karney kernel) of
+    customer-derived points x landmarks on sf0.001 — exercises scan,
+    cell index, broadcast join, Arrow kernel, window top-k."""
+    return Q.sphere_knn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational glue (Catalyst-side plans)
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_top_revenue_orders": Q.q3_top_revenue_orders,
+        "q5_nation_volume": Q.q5_nation_volume,
+        "window_top_orders": Q.window_top_orders,
+        "rollup_order_volume": Q.rollup_order_volume,
+        "customers_without_orders": Q.customers_without_orders,
+        "events_hourly": Q.events_hourly,
+        "events_props_sum": Q.events_props_sum,
+        "part_type_pivot": Q.part_type_pivot,
+        # spatial kernels + joins (sphere variants SQL-oracled)
+        "sphere_distance_buckets": Q.sphere_distance_buckets,
+        "sphere_radius_join": Q.sphere_radius_join,
+        "sphere_knn": Q.sphere_knn,
+        "pip_dateline_box": Q.pip_dateline_box,
+        "sphere_direct_destinations": Q.sphere_direct_destinations,
+        "tile_counts": Q.tile_counts,
+        "ellip_nearest_landmark": Q.ellip_nearest_landmark,
+        # documents: dedup + text analysis
+        "doc_dedup_summary": Q.doc_dedup_summary,
+        "doc_token_stats": Q.doc_token_stats,
+        "doc_lang_guess": Q.doc_lang_guess,
+        "doc_quality_buckets": Q.doc_quality_buckets,
+        "doc_minhash_pairs": Q.doc_minhash_pairs,
+        "doc_simhash_pairs": Q.doc_simhash_pairs,
+        "doc_fingerprints": Q.doc_fingerprints,
+        # embeddings: similarity search
+        "emb_cosine_topk": Q.emb_cosine_topk,
+        "emb_similar_pairs": Q.emb_similar_pairs,
+        "emb_ivf_topk": Q.emb_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLE_SQL)

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines (engine-added).
+
+All hot-path scoring is JVM-side Catalyst expressions (split/replace/
+length arithmetic — whole-stage codegen, no Python); only the rolling
+document fingerprint needs a vectorized pandas UDF.  Each operator is
+deliberately expressible in portable ANSI SQL so the DuckDB oracle can
+verify it bit-for-bit at small scale (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# language -> marker words (checked as ' word '-padded substrings so
+# both engines count identically with pure replace/length arithmetic)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "les", "des"),
+}
+
+
+def substr_count(col: Column, needle: str) -> Column:
+    """Occurrences of needle via replace/length arithmetic — exact
+    integer result, portable to any SQL dialect."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens (split on single spaces; documents are
+    space-normalized in the synthetic corpus)."""
+    return F.size(F.split(F.trim(col), " "))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: n_chars, n_tokens, avg token length,
+    marker-word counts.  All codegen'd expressions."""
+    c = F.col(text_col)
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    df = (df
+          .withColumn("n_chars_calc", F.length(c))
+          .withColumn("n_tokens", token_count(c))
+          .withColumn("avg_token_len",
+                      (F.length(F.replace(c, F.lit(" "), F.lit("")))
+                       / token_count(c))))
+    for lang, words in LANG_MARKERS.items():
+        expr = None
+        for w in words:
+            cnt = substr_count(padded, f" {w} ")
+            expr = cnt if expr is None else (expr + cnt)
+        df = df.withColumn(f"hits_{lang}", expr)
+    return df
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hits, 'unk' when
+    all zero.  Ties resolve in the fixed order en > es > de > fr —
+    mirrored exactly in the SQL oracle."""
+    df = with_text_stats(df, text_col)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    guess = F.when(best == 0, F.lit("unk"))
+    for l in langs:
+        guess = guess.when(F.col(f"hits_{l}") == best, F.lit(l))
+    return df.withColumn("lang_guess", guess)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + token shape.
+    Integer/rational arithmetic only -> oracle-exact."""
+    df = with_text_stats(df, text_col)
+    n = F.col("n_tokens")
+    ln = F.col("n_chars_calc")
+    score = (
+        F.when((ln >= 20) & (ln <= 2000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when((n >= 5) & (n <= 500), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((F.col("avg_token_len") >= 2)
+                 & (F.col("avg_token_len") <= 12),
+                 F.lit(0.2)).otherwise(F.lit(0.0)))
+    return df.withColumn("quality", score)
+
+
+FP_MOD = (1 << 61) - 1
+FP_BASE = 257
+
+
+def fingerprint_udf(window: int = 16):
+    """Rolling polynomial document fingerprint (Rabin-Karp style):
+    min of rolling hashes over `window`-byte windows — a deterministic
+    64-bit document sketch for fuzzy dedup.  Vectorized with numpy
+    (object-dtype-free; arbitrary precision avoided via mod 2^61-1)."""
+
+    @pandas_udf(T.LongType())
+    def doc_fingerprint(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, s in enumerate(text):
+            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            if b.size == 0:
+                out[i] = 0
+                continue
+            if b.size < window:
+                h = 0
+                for ch in b.tolist():
+                    h = (h * FP_BASE + int(ch)) % FP_MOD
+                out[i] = h
+                continue
+            # rolling hash over all windows, vectorized per document
+            powers = pow(FP_BASE, window - 1, FP_MOD)
+            h = 0
+            mins = None
+            vals = np.empty(b.size - window + 1, dtype=np.uint64)
+            for k in range(window):
+                h = (h * FP_BASE + int(b[k])) % FP_MOD
+            vals[0] = h
+            for k in range(window, b.size):
+                h = ((h - int(b[k - window]) * powers) * FP_BASE
+                     + int(b[k])) % FP_MOD
+                vals[k - window + 1] = h
+            out[i] = np.int64(vals.min())
+        return pd.Series(out)
+
+    return doc_fingerprint

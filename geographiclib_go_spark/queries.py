@@ -1,0 +1,689 @@
+"""The engine's benchmark/correctness query suite.
+
+Every function takes (spark, sf_dir) and returns a DataFrame; each has
+a matching ANSI-SQL oracle in ORACLE_SQL (run by the driver through
+DuckDB on the same parquet).  Conventions that make the value-hash
+comparison exact:
+
+- money aggregates go through DECIMAL(18,2/4) so the sum is exact
+  integer arithmetic in both engines, then cast back to double;
+- distances/cosines from floating kernels are rounded far coarser
+  than the cross-engine error (1e-9 m / 1e-12) but far finer than
+  data spacing, so bucket/rank boundaries can't flip;
+- every computed column is aliased identically here and in the SQL;
+- sphere-kernel queries run the full Karney machinery with f=0, which
+  reduces exactly to great-circle — giving DuckDB a closed-form
+  oracle for the kernel + join plumbing.  The ellipsoidal paths are
+  oracled by the pytest GeodTest-style suites instead (DuckDB cannot
+  express them); the driver records rows-only checks for those.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geographiclib_go_spark.kernels import caps as C
+from geographiclib_go_spark.functions.geodesic_udfs import (
+    make_direct_udf, make_inverse_udf)
+from geographiclib_go_spark.operators import dedup as ded
+from geographiclib_go_spark.operators import similarity as sim
+from geographiclib_go_spark.operators import spatial_join as sj
+from geographiclib_go_spark.operators import text as tx
+from geographiclib_go_spark.operators import tiling
+
+SPHERE_A = 6371000.0
+
+LANDMARKS = [
+    (0, 40.7128, -74.0060), (1, 51.5074, -0.1278), (2, 35.6762, 139.6503),
+    (3, -33.8688, 151.2093), (4, -23.5505, -46.6333), (5, 55.7558, 37.6173),
+    (6, 30.0444, 31.2357), (7, 28.6139, 77.2090), (8, 1.3521, 103.8198),
+    (9, -1.2921, 36.8219), (10, 64.1466, -21.9426), (11, -77.8463, 166.6683),
+]
+
+_LM_VALUES_SQL = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in LANDMARKS)
+
+# customer -> deterministic point, exact rational arithmetic in both
+# engines (multiples of 0.01 degrees; no poles)
+_PTS_SQL = ("SELECT c_custkey, "
+            "((c_custkey * 9973) % 17000) / 100.0 - 85.0 AS lat, "
+            "((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon "
+            "FROM customer")
+
+_HAVERSINE = (
+    "2.0 * {r} * ASIN(SQRT("
+    "POW(SIN(RADIANS(lat - qlat) / 2), 2) + "
+    "COS(RADIANS(qlat)) * COS(RADIANS(lat)) * "
+    "POW(SIN(RADIANS(lon - qlon) / 2), 2)))").format(r=SPHERE_A)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _customer_points(spark, sf_dir) -> DataFrame:
+    return (_t(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    ((F.col("c_custkey") * 9973) % 17000 / 100.0 - 85.0)
+                    .alias("lat"),
+                    ((F.col("c_custkey") * 7919) % 36000 / 100.0 - 180.0)
+                    .alias("lon")))
+
+
+def _landmarks_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(q), float(la), float(lo)) for q, la, lo in LANDMARKS],
+        "qid long, lat double, lon double")
+
+
+def _dec_sum(col, scale=2):
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Relational glue (TPC-H-ish)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dec_sum("l_quantity").alias("sum_qty"),
+                 _dec_sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(disc.cast("decimal(18,4)")).cast("double")
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """3-way join + top-10 by exact decimal revenue."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum(rev.cast("decimal(18,4)")).cast("double")
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def q5_nation_volume(spark, sf_dir):
+    """5-way star join, grouped by nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev.cast("decimal(18,4)")).cast("double")
+                 .alias("revenue"),
+                 F.count("*").alias("n_lineitems"))
+            .orderBy("n_name"))
+
+
+def window_top_orders(spark, sf_dir):
+    """Ranking window: top 3 orders per customer by totalprice."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "rnk", "o_orderkey", "o_totalprice"))
+
+
+def rollup_order_volume(spark, sf_dir):
+    """Rollup region -> nation -> grand total."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region),
+               nation.n_regionkey == region.r_regionkey))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 _dec_sum("o_totalprice").alias("total_price")))
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti join: customers that never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-hour aggregation over the event stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH").alias("hour_str"),
+        "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value")))
+
+
+def events_props_sum(spark, sf_dir):
+    """JSON extraction + integer aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"), F.count("*").alias("n")))
+
+
+def part_type_pivot(spark, sf_dir):
+    """Conditional aggregation (pivot shape) on part size classes."""
+    part = _t(spark, sf_dir, "part")
+    small = F.when(F.col("p_size") <= 10, 1).otherwise(0)
+    large = F.when(F.col("p_size") > 10, 1).otherwise(0)
+    return (part.groupBy("p_brand")
+            .agg(F.sum(small).alias("n_small"),
+                 F.sum(large).alias("n_large"),
+                 _dec_sum("p_retailprice").alias("total_price")))
+
+
+# --------------------------------------------------------------------------
+# Spatial (kernel-backed, sphere => SQL-oracled)
+# --------------------------------------------------------------------------
+
+def sphere_distance_buckets(spark, sf_dir):
+    """Great-circle distance histogram: every customer point to
+    landmark 0, bucketed per 1000 km — runs the full Karney inverse
+    with f=0."""
+    pts = _customer_points(spark, sf_dir)
+    inv = make_inverse_udf(a=SPHERE_A, f=0.0, mask=C.DISTANCE)
+    lm = LANDMARKS[0]
+    s12 = inv(F.lit(float(lm[1])), F.lit(float(lm[2])),
+              F.col("lat"), F.col("lon"))["s12"]
+    return (pts.withColumn("bucket_mm", F.floor(s12 / 1e6))
+            .groupBy("bucket_mm")
+            .agg(F.count("*").alias("n"))
+            .orderBy("bucket_mm"))
+
+
+def sphere_radius_join(spark, sf_dir):
+    """Engine distance join (cell cover + refine) on the sphere:
+    customers within 2000 km of each landmark -> counts."""
+    pts = _customer_points(spark, sf_dir)
+    lm = _landmarks_df(spark)
+    joined = sj.distance_join(pts, lm, radius_m=2_000_000.0,
+                              a=SPHERE_A, f=0.0)
+    return (joined.groupBy("q_qid")
+            .agg(F.count("*").alias("n_within"))
+            .orderBy("q_qid"))
+
+
+def sphere_knn(spark, sf_dir):
+    """Engine kNN join (ring expansion): 5 nearest customer points per
+    landmark; rounded distances (rank ties carry equal distances)."""
+    pts = _customer_points(spark, sf_dir)
+    lm = _landmarks_df(spark)
+    got = sj.knn_join(pts, lm, k=5, res=4, a=SPHERE_A, f=0.0)
+    return (got.select(F.col("q_qid").alias("qid"), "rank",
+                       F.round(F.col("s12"), 1).alias("dist_m"))
+            .orderBy("qid", "rank"))
+
+
+def pip_dateline_box(spark, sf_dir):
+    """PIP join against a dateline-straddling box polygon."""
+    pts = _customer_points(spark, sf_dir)
+    box = {1: ((10.005, 10.005, -10.005, -10.005),
+               (170.005, -170.005, -170.005, 170.005))}
+    inside = sj.pip_join(pts, box, res=4)
+    return inside.select("c_custkey").orderBy("c_custkey")
+
+
+def sphere_direct_destinations(spark, sf_dir):
+    """Direct problem on the sphere: 12 azimuths x 12 landmarks at
+    1000 km, vs the closed-form SQL oracle."""
+    lm = _landmarks_df(spark)
+    azi = spark.range(0, 12).select((F.col("id") * 30.0).alias("azi"))
+    d = make_direct_udf(a=SPHERE_A, f=0.0, mask=C.STANDARD)
+    g = lm.crossJoin(azi)
+    out = d(F.col("lat"), F.col("lon"), F.col("azi"), F.lit(1_000_000.0))
+    return (g.withColumn("_d", out)
+            .select("qid", "azi",
+                    F.round(F.col("_d.lat2"), 6).alias("lat2_r"),
+                    F.round(F.col("_d.lon2"), 6).alias("lon2_r"))
+            .orderBy("qid", "azi"))
+
+
+def tile_counts(spark, sf_dir):
+    """Tile assignment at res 3 over customer points -> per-tile
+    counts (the tiling operator's cell function is the implicit
+    kernel; the oracle recomputes membership via the closed-form
+    sphere distance to tile centers is impossible in SQL, so this
+    query instead validates determinism of counts against a Spark
+    re-run; row-count-only oracle)."""
+    pts = _customer_points(spark, sf_dir)
+    t = tiling.assign_tiles(pts, 3)
+    return (t.groupBy("tile_id").agg(F.count("*").alias("n"))
+            .orderBy("tile_id"))
+
+
+def ellip_nearest_landmark(spark, sf_dir):
+    """WGS84 ellipsoidal kNN (k=1) — the true geodesic, no SQL oracle
+    (kernel conformance is gated by the pytest GeodTest suites)."""
+    pts = _customer_points(spark, sf_dir)
+    lm = _landmarks_df(spark)
+    got = sj.knn_join(pts, lm, k=1, res=3)
+    return (got.groupBy("q_qid")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("s12"), 3).alias("nearest_m"))
+            .orderBy("q_qid"))
+
+
+# --------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# --------------------------------------------------------------------------
+
+def doc_dedup_summary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    groups = (docs.groupBy(F.md5(F.col("text")).alias("h"))
+              .agg(F.count("*").alias("c")))
+    return groups.agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_distinct_texts"),
+        F.max("c").alias("max_group_size"))
+
+
+def doc_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.with_text_stats(docs)
+    return out.select("doc_id", "n_chars_calc", "n_tokens",
+                      "avg_token_len", "hits_en", "hits_es", "hits_de",
+                      "hits_fr")
+
+
+def doc_lang_guess(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.with_lang_guess(docs)
+    return (out.groupBy("lang_guess").agg(F.count("*").alias("n"))
+            .orderBy("lang_guess"))
+
+
+def doc_quality_buckets(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.quality_score(docs)
+    return (out.groupBy("quality").agg(F.count("*").alias("n"))
+            .orderBy("quality"))
+
+
+def doc_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, Jaccard-verified (no SQL oracle —
+    LSH banding is not SQL-expressible; exactness is anchored by
+    tests/test_dedup.py brute-force comparison)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ded.minhash_dedup_pairs(docs, threshold=0.5).orderBy(
+        "id_a", "id_b")
+
+
+def doc_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ded.simhash_near_dups(docs, max_hamming=8).orderBy(
+        "id_a", "id_b")
+
+
+def doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = tx.fingerprint_udf()
+    return (docs.select("doc_id", fp(F.col("text")).alias("fingerprint"))
+            .groupBy().agg(F.count("*").alias("n"),
+                           F.countDistinct("fingerprint")
+                           .alias("n_distinct_fp")))
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def emb_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .withColumnRenamed("vec_id", "qid")
+    got = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    return (got.filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", "vec_id",
+                    F.round(F.col("cosine"), 5).alias("cos5"))
+            .orderBy("qid", "vec_id"))
+
+
+def emb_similar_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("_vb"))
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine",
+                         sim.cosine_col(F.col("_va"), F.col("_vb")))
+             .filter(F.col("cosine") >= 0.35))
+    return (pairs.select("id_a", "id_b",
+                         F.round(F.col("cosine"), 5).alias("cos5"))
+            .orderBy("id_a", "id_b"))
+
+
+def emb_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN (no SQL oracle; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .withColumnRenamed("vec_id", "qid")
+    got = sim.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+    return got.select("qid", "rank", "vec_id").orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-portable ANSI)
+# --------------------------------------------------------------------------
+
+_HAV_POINTS = (
+    "WITH pts AS ({pts}), lm(qid, qlat, qlon) AS (VALUES {lm})"
+).format(pts=_PTS_SQL, lm=_LM_VALUES_SQL)
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue_orders": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_nation_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "window_top_orders": """
+        SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+            FROM orders) t
+        WHERE rnk <= 3
+    """,
+    "rollup_order_volume": """
+        SELECT r_name, n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey)
+    """,
+    "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+                   AS hour_str,
+               event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_props_sum": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k')
+                    AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "part_type_pivot": """
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN p_size <= 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small,
+               CAST(SUM(CASE WHEN p_size > 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_large,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM part GROUP BY p_brand
+    """,
+    "sphere_distance_buckets": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT CAST(FLOOR((2.0 * {SPHERE_A} * ASIN(SQRT(
+                   POW(SIN(RADIANS(lat - {LANDMARKS[0][1]}) / 2), 2)
+                   + COS(RADIANS({LANDMARKS[0][1]})) * COS(RADIANS(lat))
+                   * POW(SIN(RADIANS(lon - ({LANDMARKS[0][2]})) / 2), 2)
+               ))) / 1e6) AS BIGINT) AS bucket_mm,
+               COUNT(*) AS n
+        FROM pts GROUP BY 1 ORDER BY 1
+    """,
+    "sphere_radius_join": f"""
+        {_HAV_POINTS}
+        SELECT qid AS q_qid, COUNT(*) AS n_within
+        FROM pts, lm
+        WHERE {_HAVERSINE} <= 2000000.0
+        GROUP BY qid ORDER BY qid
+    """,
+    "sphere_knn": f"""
+        {_HAV_POINTS}
+        SELECT qid, rank, ROUND(dist, 1) AS dist_m FROM (
+            SELECT qid, {_HAVERSINE} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY {_HAVERSINE} ASC, c_custkey ASC) AS rank
+            FROM pts, lm) t
+        WHERE rank <= 5 ORDER BY qid, rank
+    """,
+    "pip_dateline_box": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT c_custkey FROM pts
+        WHERE lat > -10.005 AND lat < 10.005
+          AND (lon > 170.005 OR lon < -170.005)
+        ORDER BY c_custkey
+    """,
+    "sphere_direct_destinations": f"""
+        WITH lm(qid, qlat, qlon) AS (VALUES {_LM_VALUES_SQL}),
+        az AS (SELECT (v * 30.0) AS azi FROM range(0, 12) t(v)),
+        d0 AS (
+          SELECT qid, azi, qlat, qlon,
+            SIN(RADIANS(qlat)) * COS(1000000.0/{SPHERE_A})
+              + COS(RADIANS(qlat)) * SIN(1000000.0/{SPHERE_A})
+                * COS(RADIANS(azi)) AS sin_lat2
+          FROM lm, az),
+        d AS (
+          SELECT qid, azi,
+            DEGREES(ASIN(sin_lat2)) AS lat2,
+            DEGREES(RADIANS(qlon) + ATAN2(
+              SIN(RADIANS(azi)) * SIN(1000000.0/{SPHERE_A})
+                * COS(RADIANS(qlat)),
+              COS(1000000.0/{SPHERE_A})
+                - SIN(RADIANS(qlat)) * sin_lat2)) AS lon2
+          FROM d0)
+        SELECT qid, azi, ROUND(lat2, 6) AS lat2_r,
+               ROUND(CASE WHEN lon2 >= 180 THEN lon2 - 360
+                          WHEN lon2 < -180 THEN lon2 + 360
+                          ELSE lon2 END, 6) AS lon2_r
+        FROM d ORDER BY qid, azi
+    """,
+    "doc_dedup_summary": """
+        SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_distinct_texts,
+               CAST(MAX(c) AS BIGINT) AS max_group_size
+        FROM (SELECT md5(text) AS h, COUNT(*) AS c
+              FROM documents GROUP BY 1) g
+    """,
+    "doc_token_stats": """
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_calc,
+               LEN(string_split(TRIM(text), ' ')) AS n_tokens,
+               LENGTH(REPLACE(text, ' ', ''))
+                   / LEN(string_split(TRIM(text), ' '))
+                   AS avg_token_len,
+               CAST((LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))) / 5
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' and ', ''))) / 5
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' of ', ''))) / 4
+                 AS BIGINT) AS hits_en,
+               CAST((LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' el ', ''))) / 4
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' la ', ''))) / 4
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' los ', ''))) / 5
+                 AS BIGINT) AS hits_es,
+               CAST((LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' der ', ''))) / 5
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' und ', ''))) / 5
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' die ', ''))) / 5
+                 AS BIGINT) AS hits_de,
+               CAST((LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' le ', ''))) / 4
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' les ', ''))) / 5
+                 + (LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' des ', ''))) / 5
+                 AS BIGINT) AS hits_fr
+        FROM documents
+    """,
+    "doc_lang_guess": """
+        WITH s AS (
+          SELECT
+            CAST((LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))) / 5
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' and ', ''))) / 5
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' of ', ''))) / 4
+              AS BIGINT) AS hits_en,
+            CAST((LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' el ', ''))) / 4
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' la ', ''))) / 4
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' los ', ''))) / 5
+              AS BIGINT) AS hits_es,
+            CAST((LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' der ', ''))) / 5
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' und ', ''))) / 5
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' die ', ''))) / 5
+              AS BIGINT) AS hits_de,
+            CAST((LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' le ', ''))) / 4
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' les ', ''))) / 5
+              + (LENGTH(' ' || text || ' ')
+              - LENGTH(REPLACE(' ' || text || ' ', ' des ', ''))) / 5
+              AS BIGINT) AS hits_fr
+          FROM documents)
+        SELECT lang_guess, COUNT(*) AS n FROM (
+          SELECT CASE
+            WHEN GREATEST(hits_en, hits_es, hits_de, hits_fr) = 0
+              THEN 'unk'
+            WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr)
+              THEN 'en'
+            WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr)
+              THEN 'es'
+            WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr)
+              THEN 'de'
+            ELSE 'fr' END AS lang_guess
+          FROM s) t
+        GROUP BY lang_guess ORDER BY lang_guess
+    """,
+    "doc_quality_buckets": """
+        SELECT quality, COUNT(*) AS n FROM (
+          SELECT (CASE WHEN LENGTH(text) >= 20 AND LENGTH(text) <= 2000
+                       THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END)
+               + (CASE WHEN LEN(string_split(TRIM(text), ' ')) >= 5
+                        AND LEN(string_split(TRIM(text), ' ')) <= 500
+                       THEN CAST(0.3 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END)
+               + (CASE WHEN LENGTH(REPLACE(text, ' ', ''))
+                            / LEN(string_split(TRIM(text), ' ')) >= 2
+                        AND LENGTH(REPLACE(text, ' ', ''))
+                            / LEN(string_split(TRIM(text), ' ')) <= 12
+                       THEN CAST(0.2 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END) AS quality
+          FROM documents) t
+        GROUP BY quality ORDER BY quality
+    """,
+    "emb_cosine_topk": """
+        WITH q AS (SELECT vec_id AS qid,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        s AS (SELECT qid, vec_id,
+                     list_cosine_similarity(qv, cv) AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                  vec_id ASC) AS rank
+              FROM q, c)
+        SELECT qid, vec_id, ROUND(cosine, 5) AS cos5
+        FROM s WHERE rank <= 5 AND qid != vec_id
+        ORDER BY qid, vec_id
+    """,
+    "emb_similar_pairs": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 5) AS cos5
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= 0.35
+        ORDER BY id_a, id_b
+    """,
+}
