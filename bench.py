@@ -1,0 +1,107 @@
+"""Engine benchmark: headline queries + the flagship images pipeline.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+The flagship measures the north-rule metric directly: images tiled +
+spatially joined per second (synthetic deterministic images table,
+tile assignment + nearest-landmark kNN join + per-tile aggregation).
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str = None, cpus: str = None,
+              n_images: int = None) -> dict:
+    from geographiclib_go_spark.session import build_session
+    from geographiclib_go_spark import queries as Q
+    from geographiclib_go_spark.sources import images as im
+    from geographiclib_go_spark.operators import tiling
+    from geographiclib_go_spark.operators import spatial_join as sj
+    from geographiclib_go_spark.plans import pipeline as pl
+    from pyspark.sql import functions as F
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR",
+                                      "/root/testdata/sf0.1")
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n_images = n_images or int(
+        os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+
+    spark = build_session(app="bench", master=f"local[{cpus}]")
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM/Python workers so timings measure the engine
+    spark.range(1000).select(F.sum("id")).collect()
+
+    headline = [
+        "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_volume",
+        "window_top_orders", "rollup_order_volume", "events_hourly",
+        "sphere_distance_buckets", "sphere_radius_join", "sphere_knn",
+        "pip_dateline_box", "sphere_direct_destinations",
+        "ellip_nearest_landmark",
+        "doc_token_stats", "doc_minhash_pairs", "emb_cosine_topk",
+    ]
+    for name in headline:
+        fn = getattr(Q, name)
+        timed(name, lambda f=fn: f(spark, sf_dir)
+              .write.format("noop").mode("overwrite").save())
+
+    # flagship: images tiled + spatially joined (the north-rule metric)
+    t0 = time.time()
+    images = im.generate_images(spark, n_images, skew_pct=3).cache()
+    n_gen = images.count()
+    gen_s = time.time() - t0
+
+    t0 = time.time()
+    tiles = tiling.assign_tiles(
+        images.select("image_id", "phash", "lat", "lon"), tile_res=6)
+    lm = pl.landmarks_df(spark)
+    near = sj.knn_join(tiles.select("image_id", "lat", "lon"), lm,
+                       k=1, res=3)
+    joined = (near.join(tiles, "image_id")
+              .groupBy("tile_id", "q_qid")
+              .agg(F.count("*").alias("n_images"),
+                   F.approx_count_distinct("phash").alias("n_phash")))
+    n_out = joined.count()
+    pipe_s = time.time() - t0
+    timings["images_pipeline"] = round(pipe_s, 3)
+    images.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline suite wall time (images tiled+joined "
+                  "pipeline + 15 queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "images_tiled_joined_per_sec": round(n_gen / pipe_s, 1),
+        "n_images": n_gen,
+        "n_output_groups": n_out,
+        "images_gen_sec": round(gen_s, 3),
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

@@ -341,6 +341,84 @@ def min_cell_width_rad(res: int) -> float:
     return float(w)
 
 
+_MAX_WIDTH_CACHE: dict = {}
+
+
+def max_cell_width_rad(res: int) -> float:
+    """Conservative upper bound on any cell's diagonal at this
+    resolution (sampled adjacent center spacing x 2 safety)."""
+    if res in _MAX_WIDTH_CACHE:
+        return _MAX_WIDTH_CACHE[res]
+    n = 1 << res
+    ks = np.unique(np.clip(np.array([0, 1, n // 4, n // 2,
+                                     3 * n // 4, n - 2, n - 1]), 0, n - 1))
+    ii, jj = np.meshgrid(ks, ks)
+    ii = ii.ravel()
+    jj = jj.ravel()
+    f = np.zeros_like(ii)
+    base = fij_to_cell(f, ii, jj, res)
+    worst = 0.0
+    for di, dj in ((1, 0), (0, 1)):
+        sf, si, sj = _step1(f, ii, jj, res, di, dj)
+        nb = fij_to_cell(sf, si, sj, res)
+        la1, lo1 = cell_center(base, res)
+        la2, lo2 = cell_center(nb, res)
+        x1 = np.stack(latlon_to_xyz(la1, lo1), -1)
+        x2 = np.stack(latlon_to_xyz(la2, lo2), -1)
+        d = np.arccos(np.clip(np.einsum("...k,...k->...", x1, x2), -1, 1))
+        worst = max(worst, float(d.max()))
+    w = 2.0 * worst
+    _MAX_WIDTH_CACHE[res] = w
+    return w
+
+
+def cap_cover(lat: float, lon: float, res: int,
+              radius_rad: float) -> np.ndarray:
+    """Complete cell cover of a spherical cap (disc-shaped, ~pi r^2/w^2
+    cells).  Samples a local tangent grid at half the minimum cell
+    width (every intersecting cell is hit), reflects samples across
+    the poles, and pads with a 1-ring expansion."""
+    w_min = min_cell_width_rad(res)
+    pad = max_cell_width_rad(res) / 2  # >= any cell circumradius
+    r = radius_rad + pad
+    if r >= np.pi / 2:  # cap covers a hemisphere+ — just take all cells
+        n = 1 << res
+        f, i, j = np.meshgrid(np.arange(6), np.arange(n), np.arange(n),
+                              indexing="ij")
+        return fij_to_cell(f.ravel(), i.ravel(), j.ravel(), res)
+    step = w_min / 2
+    k = int(np.ceil(r / step))
+    g = np.arange(-k, k + 1) * step
+    dv, du = np.meshgrid(g, g)
+    disc = (du ** 2 + dv ** 2) <= r * r
+    du = du[disc]
+    dv = dv[disc]
+    la = lat + np.degrees(dv)
+    coslat = np.cos(np.radians(np.clip(la, -89.9999, 89.9999)))
+    lo = lon + np.degrees(du) / np.maximum(coslat, np.degrees(step) / 360)
+    # reflect across poles
+    over_n = la > 90
+    over_s = la < -90
+    la = np.where(over_n, 180 - la, np.where(over_s, -180 - la, la))
+    lo = np.where(over_n | over_s, lo + 180, lo)
+    lo = gm_ang_normalize(lo)
+    cand = np.unique(cell_from_latlon(la, lo, res))
+    # near-pole caps: the tangent-grid lon spread underestimates;
+    # include full pole rows when the cap reaches a pole
+    if lat + np.degrees(r) > 90 or lat - np.degrees(r) < -90:
+        pole_lat = 90.0 if lat > 0 else -90.0
+        lons = np.arange(-180, 180, np.degrees(step))
+        extra = cell_from_latlon(
+            np.full(lons.size, np.clip(pole_lat, -90, 90)), lons, res)
+        cand = np.unique(np.concatenate([cand, extra]))
+    return ring_expand(cand, res, 1)
+
+
+def gm_ang_normalize(x):
+    y = np.mod(np.asarray(x, dtype=np.float64) + 180.0, 360.0) - 180.0
+    return y
+
+
 def ring_bound_m(res: int, rings: int, b_radius: float) -> float:
     """Lower bound (meters) on the geodesic distance from a point in a
     cell to any point outside `rings` rings, on an ellipsoid with polar

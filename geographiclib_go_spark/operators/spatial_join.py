@@ -64,6 +64,19 @@ def ring_cover_udf(res: int, rings: int):
     return cover_of
 
 
+def cap_cover_udf(res: int, radius_rad: float):
+    """array<long> cell cover of the radius cap around each point —
+    disc-shaped (ring expansion pruned by center distance)."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cover_of(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        return pd.Series([
+            kcells.cap_cover(float(a), float(b), res, radius_rad).tolist()
+            for a, b in zip(la, lo)])
+    return cover_of
+
+
 def with_cell(df: DataFrame, res: int, lat_col: str = "lat",
               lon_col: str = "lon", out: str = "cell") -> DataFrame:
     return df.withColumn(out, cell_udf(res)(F.col(lat_col), F.col(lon_col)))
@@ -71,20 +84,22 @@ def with_cell(df: DataFrame, res: int, lat_col: str = "lat",
 
 def plan_radius(radius_m: float, a: float = WGS84_A,
                 f: float = WGS84_F) -> tuple:
-    """(res, rings) such that ring cover of a query cell contains every
-    point within radius_m — chooses the finest resolution that keeps
-    the ring count <= 3 (cover size <= 49 cells/query)."""
+    """(res, radius_rad) for the cap cover: resolution with typical
+    cell width ~ radius/2.5, so the disc cover is ~ 20-30 cells and the
+    refine set ~ the true cap population.  radius_rad uses the
+    equatorial radius a (the largest) so the angular cap is a superset
+    of the metric cap on the ellipsoid."""
     g = GeodesicModel(a, f)
-    for res in range(16, 1, -1):
-        w = kcells.min_cell_width_rad(res) * g.b
-        rings = math.ceil(radius_m / w) + 1
-        if rings <= 3:
-            return res, rings
-    return 2, 3
+    res = kcells.pick_resolution(radius_m / 2.5, g.b, lo=2, hi=14)
+    # central angle upper bound: geodesic length s corresponds to at
+    # most s / r_min of central angle, r_min = min radius of curvature
+    r_min = min(g.a, g.b) ** 2 / max(g.a, g.b)
+    radius_rad = radius_m / r_min
+    return res, radius_rad
 
 
 def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
-                  res: int = None, rings: int = None,
+                  res: int = None,
                   a: float = WGS84_A, f: float = WGS84_F,
                   point_cols=("lat", "lon"), query_cols=("lat", "lon"),
                   broadcast_queries: bool = None) -> DataFrame:
@@ -92,8 +107,9 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
 
     Output: query columns (prefixed q_), point columns, s12.
     """
-    if res is None or rings is None:
-        res, rings = plan_radius(radius_m, a, f)
+    plan_res, radius_rad = plan_radius(radius_m, a, f)
+    if res is None:
+        res = plan_res
 
     pts = with_cell(points, res, *point_cols, out="_cell")
     q = queries
@@ -101,14 +117,16 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
         q = q.withColumnRenamed(c, f"q_{c}")
     q = q.withColumn(
         "_qcover",
-        ring_cover_udf(res, rings)(F.col(f"q_{query_cols[0]}"),
-                                   F.col(f"q_{query_cols[1]}")))
+        cap_cover_udf(res, radius_rad)(F.col(f"q_{query_cols[0]}"),
+                                       F.col(f"q_{query_cols[1]}")))
     q = q.withColumn("_cell", F.explode("_qcover")).drop("_qcover")
 
     # explicit join-strategy selection (north rule): broadcast the
-    # exploded query cover when it is small, else sort-merge
+    # exploded query cover when it is small, else sort-merge.
+    # estimate on the un-exploded query side (cheap scan; the cover
+    # multiplies rows by a known ~cap/cell factor)
     if broadcast_queries is None:
-        broadcast_queries = _estimate_small(q)
+        broadcast_queries = _estimate_small(queries, limit_rows=20_000)
     qj = F.broadcast(q) if broadcast_queries else q.hint("merge")
 
     inv = make_inverse_udf(a, f, C.DISTANCE)
@@ -147,12 +165,17 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     kernel, see tests/test_cells.py).
     """
     g = GeodesicModel(a, f)
+    n_pts = points.count()
     if res is None:
         # aim for ~k points per 3x3 neighborhood under uniform density:
         # callers with skewed data should pass res explicitly
-        n_pts = points.count()
         density_width = 2.0 * math.sqrt(4 * math.pi / max(n_pts / max(k, 1), 1))
         res = kcells.pick_resolution(density_width * g.b, g.b)
+    # expected kth-neighbor angular distance under uniform density;
+    # start the ring search there instead of crawling outward
+    r_k = math.sqrt(4 * math.pi * (k + 1) / max(n_pts, 1)) / 2
+    w_min = kcells.min_cell_width_rad(res)
+    start_rings = int(min(max(2, math.ceil(r_k / w_min) + 2), 64))
 
     q = queries
     for c in q.columns:
@@ -163,13 +186,19 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     pts = with_cell(points, res, *point_cols, out="_cell").cache()
     inv = make_inverse_udf(a, f, C.DISTANCE)
 
-    unresolved = q
+    # queries are the small side by design: track resolution driver-side
+    # (one collect of per-query stats per round) so each round is a
+    # single Spark action instead of a chain of anti-joins.
+    q = q.cache()
+    unresolved_ids = None  # None = all
     results = []
-    rings = 1
+    rings = start_rings  # ring_bound(rings=1) is 0: start past it
     for round_no in range(max_rounds):
-        if unresolved.isEmpty():
+        if unresolved_ids is not None and not unresolved_ids:
             break
-        cover = unresolved.withColumn(
+        uq = q if unresolved_ids is None else q.filter(
+            F.col(qid).isin(list(unresolved_ids)))
+        cover = uq.withColumn(
             "_qcover", ring_cover_udf(res, rings)(F.col(qlat), F.col(qlon)))
         cover = cover.withColumn("_cell", F.explode("_qcover")) \
                      .drop("_qcover")
@@ -178,23 +207,27 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
             "s12", inv(F.col(qlat), F.col(qlon),
                        F.col(point_cols[0]), F.col(point_cols[1]))["s12"])
         w = Window.partitionBy(qid).orderBy(F.col("s12").asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)) \
-                   .filter(F.col("rank") <= k).drop("_cell")
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k).drop("_cell")).cache()
 
         bound = kcells.ring_bound_m(res, rings, g.b)
         stats = topk.groupBy(qid).agg(
-            F.count("*").alias("_n"), F.max("s12").alias("_kth"))
-        done_ids = stats.filter(
-            (F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound))) \
-            .select(qid)
-        results.append(topk.join(F.broadcast(done_ids), qid, "left_semi"))
-        unresolved = unresolved.join(F.broadcast(done_ids), qid,
-                                     "left_anti")
+            F.count("*").alias("_n"), F.max("s12").alias("_kth")).collect()
+        done = {r[0] for r in stats if r[1] >= k and r[2] <= bound}
+        if unresolved_ids is None:
+            all_ids = {r[0] for r in uq.select(qid).collect()}
+        else:
+            all_ids = set(unresolved_ids)
+        if done:
+            results.append(topk.filter(F.col(qid).isin(list(done))))
+        unresolved_ids = all_ids - done
         rings *= 2
 
-    if not unresolved.isEmpty():
+    if unresolved_ids is None or unresolved_ids:
         # brute-force fallback for the stragglers (poles, empty regions)
-        cand = unresolved.crossJoin(points)
+        uq = q if unresolved_ids is None else q.filter(
+            F.col(qid).isin(list(unresolved_ids)))
+        cand = uq.crossJoin(points)
         cand = cand.withColumn(
             "s12", inv(F.col(qlat), F.col(qlon),
                        F.col(point_cols[0]), F.col(point_cols[1]))["s12"])

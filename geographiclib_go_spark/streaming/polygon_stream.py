@@ -1,0 +1,124 @@
+"""Structured Streaming surface (engine-optional; the reference has no
+streaming — semantics reuse its PolygonArea/TestPoint contract,
+polygon.go:85-218).
+
+- running_polygon_area: applyInPandasWithState keyed by poly_id over
+  an append stream of vertices; each micro-batch folds new vertices
+  into the (accumulator, last-vertex, crossings) state and emits the
+  running TestPoint-style result — the streaming analog of
+  PolygonArea.AddPoint + Compute.  Contract: vertices of a polygon
+  must arrive in seq order ACROSS micro-batches (the fold is
+  order-sensitive, exactly like the reference's AddPoint); within a
+  batch they are sorted by seq.
+- windowed_event_counts: watermark + tumbling window aggregation for
+  the events stream (late rows beyond the watermark are dropped by
+  Spark and surface in the metrics).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from geographiclib_go_spark.kernels import polygon as kpoly
+from geographiclib_go_spark.kernels.api import Geodesic
+
+RUNNING_SCHEMA = T.StructType([
+    T.StructField("poly_id", T.LongType(), False),
+    T.StructField("num", T.LongType(), False),
+    T.StructField("perimeter", T.DoubleType(), True),
+    T.StructField("area", T.DoubleType(), True),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("num", T.LongType(), False),
+    T.StructField("crossings", T.LongType(), False),
+    T.StructField("per_hi", T.DoubleType(), False),
+    T.StructField("per_lo", T.DoubleType(), False),
+    T.StructField("area_hi", T.DoubleType(), False),
+    T.StructField("area_lo", T.DoubleType(), False),
+    T.StructField("lat0", T.DoubleType(), False),
+    T.StructField("lon0", T.DoubleType(), False),
+    T.StructField("lat1", T.DoubleType(), False),
+    T.StructField("lon1", T.DoubleType(), False),
+])
+
+
+def _fold_vertices(key, pdf_iter, state: GroupState):
+    """Stateful fold: reference AddPoint semantics (polygon.go:85-99)
+    with double-double accumulation, emitting the running Compute()."""
+    geod = Geodesic()
+    poly_id = key[0]
+    if state.exists:
+        (num, crossings, per_hi, per_lo, area_hi, area_lo,
+         lat0, lon0, lat1, lon1) = state.get
+    else:
+        num, crossings = 0, 0
+        per_hi = per_lo = area_hi = area_lo = 0.0
+        lat0 = lon0 = lat1 = lon1 = math.nan
+
+    acc_per = kpoly  # namespacing only
+    import numpy as np
+
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("seq")
+        for la, lo in zip(pdf["lat"], pdf["lon"]):
+            if num == 0:
+                lat0, lon0 = la, lo
+            else:
+                r = geod.inverse(lat1, lon1, la, lo,
+                                 kpoly.POLYGON_CAPS)
+                per_hi, per_lo = kpoly.dd_add(
+                    np.float64(per_hi), np.float64(per_lo),
+                    np.float64(r.s12))
+                area_hi, area_lo = kpoly.dd_add(
+                    np.float64(area_hi), np.float64(area_lo),
+                    np.float64(r.S12))
+                crossings += int(kpoly.transit(lon1, lo))
+            lat1, lon1 = la, lo
+            num += 1
+
+    state.update((int(num), int(crossings), float(per_hi),
+                  float(per_lo), float(area_hi), float(area_lo),
+                  float(lat0), float(lon0), float(lat1), float(lon1)))
+
+    # running result: close the ring tentatively (TestPoint analog)
+    if num < 2:
+        yield pd.DataFrame({"poly_id": [poly_id], "num": [num],
+                            "perimeter": [0.0], "area": [0.0]})
+        return
+    r = geod.inverse(lat1, lon1, lat0, lon0, kpoly.POLYGON_CAPS)
+    perimeter = float(per_hi) + r.s12
+    tmp_area = float(area_hi) + r.S12
+    cr = crossings + int(kpoly.transit(lon1, lon0))
+    area = kpoly.area_reduce(tmp_area, geod.model.ellipsoid_area, cr,
+                             False, True)
+    yield pd.DataFrame({"poly_id": [poly_id], "num": [num],
+                        "perimeter": [perimeter], "area": [area]})
+
+
+def running_polygon_area(vertex_stream: DataFrame) -> DataFrame:
+    """vertex_stream: streaming DF (poly_id long, seq long, lat double,
+    lon double) -> running per-polygon perimeter/area."""
+    return (vertex_stream
+            .groupBy("poly_id")
+            .applyInPandasWithState(
+                _fold_vertices, RUNNING_SCHEMA, STATE_SCHEMA,
+                "update", GroupStateTimeout.NoTimeout))
+
+
+def windowed_event_counts(events: DataFrame,
+                          watermark: str = "10 minutes",
+                          window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts with late-data drop via watermark."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.approx_count_distinct("user_id").alias("n_users")))

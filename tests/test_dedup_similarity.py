@@ -1,0 +1,134 @@
+"""Dedup + similarity operators vs brute-force oracles on planted
+duplicates (the synthetic corpus has no natural near-dups, so we plant
+them)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from geographiclib_go_spark.operators import dedup as ded
+from geographiclib_go_spark.operators import similarity as sim
+from geographiclib_go_spark.operators import text as tx
+
+WORDS = ("spark shuffle join window batch stream table scan merge sort "
+         "hash part order key value row group file block page cache").split()
+
+
+def _docs_pdf(n=300, seed=3):
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(rng.choice(WORDS, size=rng.integers(20, 60)))
+             for _ in range(n)]
+    # plant exact dups and near dups
+    texts[10] = texts[0]
+    texts[11] = texts[1]
+    texts[12] = texts[2] + " extra"
+    toks = texts[3].split()
+    toks[5] = "changed"
+    texts[13] = " ".join(toks)
+    return pd.DataFrame({"doc_id": np.arange(n), "text": texts})
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_docs_pdf()).cache()
+
+
+def _brute_jaccard(a: str, b: str, k=5):
+    sa = {a[i:i + k] for i in range(len(a) - k + 1)}
+    sb = {b[i:i + k] for i in range(len(b) - k + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = ded.exact_dedup(docs_df).collect()
+    ids = {r.doc_id for r in kept}
+    assert 0 in ids and 10 not in ids
+    assert 1 in ids and 11 not in ids
+    assert len(kept) == 298
+    groups = {r.keeper_id: r.n_dups
+              for r in ded.duplicate_groups(docs_df).collect()}
+    assert groups == {0: 2, 1: 2}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_df):
+    pairs = ded.minhash_dedup_pairs(docs_df, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # exact dups always collide in every band
+    assert (0, 10) in got and (1, 11) in got
+    # near dups planted above threshold
+    assert (2, 12) in got and (3, 13) in got
+    # verified jaccard values match the brute-force python oracle
+    pdf = _docs_pdf()
+    for r in pairs:
+        want = _brute_jaccard(pdf.text[r.id_a], pdf.text[r.id_b])
+        assert r.jaccard == pytest.approx(want, abs=1e-12)
+
+
+def test_simhash_near_dups(spark, docs_df):
+    pairs = ded.simhash_near_dups(docs_df, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 10) in got  # exact dup -> hamming 0
+    for r in pairs:
+        if (r.id_a, r.id_b) == (0, 10):
+            assert r.hamming == 0
+
+
+def _emb_pdf(n=200, seed=9):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 32))
+    X[50] = X[0] + rng.normal(scale=0.01, size=32)  # planted near-dup
+    return pd.DataFrame({"vec_id": np.arange(n),
+                         "embedding": [r.tolist() for r in X]})
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(_emb_pdf()).cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    pdf = _emb_pdf()
+    X = np.array(pdf.embedding.tolist())
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    queries = emb_df.filter(F.col("vec_id") < 5) \
+                    .withColumnRenamed("vec_id", "qid")
+    got = sim.cosine_topk_bruteforce(emb_df, queries, k=4).toPandas()
+    for q in range(5):
+        sims = Xn @ Xn[q]
+        want = set(np.argsort(-sims, kind="stable")[:4].tolist())
+        sub = set(got[got.qid == q].vec_id.tolist())
+        assert sub == want, f"qid {q}"
+
+
+def test_ivf_recall(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 20) \
+                    .withColumnRenamed("vec_id", "qid")
+    exact = sim.cosine_topk_bruteforce(emb_df, queries, k=5).toPandas()
+    approx = sim.ivf_topk(emb_df, queries, k=5, n_centroids=8,
+                          nprobe=4).toPandas()
+    hits = 0
+    for q in range(20):
+        e = set(exact[exact.qid == q].vec_id)
+        a = set(approx[approx.qid == q].vec_id)
+        hits += len(e & a)
+    recall = hits / (20 * 5)
+    assert recall >= 0.8, recall
+
+
+def test_embedding_near_dup_pairs(spark, emb_df):
+    pairs = sim.cosine_near_dup_pairs(emb_df, threshold=0.95, dim=32,
+                                      bits=8, n_tables=6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 50) in got
+
+
+def test_fingerprint_invariance(spark, docs_df):
+    fp = tx.fingerprint_udf()
+    out = docs_df.select("doc_id", fp(F.col("text")).alias("f")).collect()
+    fps = {r.doc_id: r.f for r in out}
+    assert fps[0] == fps[10]  # exact dups share the fingerprint
+    # deterministic across runs
+    out2 = docs_df.select("doc_id", fp(F.col("text")).alias("f")).collect()
+    assert fps == {r.doc_id: r.f for r in out2}
