@@ -89,6 +89,26 @@ def make_inverse_udf(a: float = WGS84_A, f: float = WGS84_F,
     return geod_inverse
 
 
+def make_inverse_s12_udf(a: float = WGS84_A, f: float = WGS84_F):
+    """Scalar geod_s12(lat1, lon1, lat2, lon2) -> double.  Join
+    predicates use this instead of the struct UDF: a struct-field
+    extraction referenced by both a Filter and a Project makes
+    Catalyst evaluate the Python UDF twice; a scalar output becomes
+    one attribute reused by both."""
+
+    @pandas_udf(T.DoubleType())
+    def geod_s12(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series,
+                 lon2: pd.Series) -> pd.Series:
+        g = GeodesicModel(a, f)
+        out = kinverse.gen_inverse(
+            g, lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64), lon2.to_numpy(np.float64),
+            C.DISTANCE)
+        return pd.Series(out["s12"])
+
+    return geod_s12
+
+
 def make_direct_udf(a: float = WGS84_A, f: float = WGS84_F,
                     mask: int = C.STANDARD, arcmode: bool = False):
     """geod_direct(lat1, lon1, azi1, s12_or_a12) -> struct

@@ -36,7 +36,8 @@ from pyspark.sql.functions import pandas_udf
 from geographiclib_go_spark.kernels import caps as C
 from geographiclib_go_spark.kernels.geodesic import (
     GeodesicModel, WGS84_A, WGS84_F)
-from geographiclib_go_spark.functions.geodesic_udfs import make_inverse_udf
+from geographiclib_go_spark.functions.geodesic_udfs import (
+    make_inverse_s12_udf, make_inverse_udf)
 from geographiclib_go_spark.operators import cells as kcells
 from geographiclib_go_spark.operators import pip as kpip
 
@@ -129,12 +130,12 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
         broadcast_queries = _estimate_small(queries, limit_rows=20_000)
     qj = F.broadcast(q) if broadcast_queries else q.hint("merge")
 
-    inv = make_inverse_udf(a, f, C.DISTANCE)
+    inv = make_inverse_s12_udf(a, f)
     joined = pts.join(qj, "_cell", "inner")
     joined = joined.withColumn(
         "s12",
         inv(F.col(f"q_{query_cols[0]}"), F.col(f"q_{query_cols[1]}"),
-            F.col(point_cols[0]), F.col(point_cols[1]))["s12"])
+            F.col(point_cols[0]), F.col(point_cols[1])))
     out = joined.filter(F.col("s12") <= F.lit(float(radius_m)))
     # the exploded cover can pair a (query, point) twice only if a point
     # cell appears in two cover rows of the same query — it cannot
@@ -184,7 +185,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     qlat, qlon = f"q_{query_cols[0]}", f"q_{query_cols[1]}"
 
     pts = with_cell(points, res, *point_cols, out="_cell").cache()
-    inv = make_inverse_udf(a, f, C.DISTANCE)
+    inv = make_inverse_s12_udf(a, f)
 
     # queries are the small side by design: track resolution driver-side
     # (one collect of per-query stats per round) so each round is a
@@ -205,7 +206,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         cand = pts.join(F.broadcast(cover), "_cell", "inner")
         cand = cand.withColumn(
             "s12", inv(F.col(qlat), F.col(qlon),
-                       F.col(point_cols[0]), F.col(point_cols[1]))["s12"])
+                       F.col(point_cols[0]), F.col(point_cols[1])))
         w = Window.partitionBy(qid).orderBy(F.col("s12").asc())
         topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k).drop("_cell")).cache()
@@ -230,7 +231,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         cand = uq.crossJoin(points)
         cand = cand.withColumn(
             "s12", inv(F.col(qlat), F.col(qlon),
-                       F.col(point_cols[0]), F.col(point_cols[1]))["s12"])
+                       F.col(point_cols[0]), F.col(point_cols[1])))
         w = Window.partitionBy(qid).orderBy(F.col("s12").asc())
         results.append(cand.withColumn("rank", F.row_number().over(w))
                        .filter(F.col("rank") <= k))

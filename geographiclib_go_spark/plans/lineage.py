@@ -47,13 +47,11 @@ def partition_lineage(df: DataFrame) -> DataFrame:
     h = F.xxhash64(*[F.col(c) for c in df.columns])
     return (df
             .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_h", h)
             .groupBy("_pid")
             .agg(F.count("*").alias("rows"),
-                 # xor-fold via sum of hashes mod 2^64 (associative,
-                 # commutative) — BIGINT overflow wraps in Java, which
-                 # is exactly the mod-2^64 fold we want; use try_sum on
-                 # the unsigned reinterpretation
-                 F.sum(h).alias("checksum"))
+                 # xor fold: associative, commutative, overflow-free
+                 F.expr("bit_xor(_h)").alias("checksum"))
             .withColumnRenamed("_pid", "partition_id"))
 
 

@@ -335,8 +335,12 @@ def doc_minhash_pairs(spark, sf_dir):
     LSH banding is not SQL-expressible; exactness is anchored by
     tests/test_dedup.py brute-force comparison)."""
     docs = _t(spark, sf_dir, "documents")
-    return ded.minhash_dedup_pairs(docs, threshold=0.5).orderBy(
-        "id_a", "id_b")
+    # 8 bands x 8 rows -> LSH collision threshold ~ (1/8)^(1/8) = 0.77;
+    # the synthetic corpus draws from a tiny vocabulary, so random docs
+    # share ~half their shingles — a 0.5 banding would candidate-pair
+    # nearly everything
+    return ded.minhash_dedup_pairs(docs, threshold=0.8, num_hashes=64,
+                                   bands=8).orderBy("id_a", "id_b")
 
 
 def doc_simhash_pairs(spark, sf_dir):

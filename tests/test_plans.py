@@ -1,0 +1,90 @@
+"""Physical-plan quality gates: filters push to the parquet scan,
+small sides broadcast, bytes columns are pruned, and the lineage
+store resumes idempotently."""
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from geographiclib_go_spark.plans import lineage
+from geographiclib_go_spark.operators import spatial_join as sj
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = (li.filter(F.col("l_shipdate") <= "1996-01-01")
+         .select("l_orderkey", "l_quantity"))
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # column pruning reached the scan: only the 3 needed columns
+    assert "ReadSchema" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in rs, rs
+
+
+def test_bytes_pruned_from_feature_scan(spark):
+    """The multimodal feature plan must not carry caption/lat/lon."""
+    from geographiclib_go_spark.sources import images as im
+    from geographiclib_go_spark.operators import multimodal as mm
+    with tempfile.TemporaryDirectory() as d:
+        im.generate_images(spark, 50, skew_pct=0).write.parquet(
+            d + "/img")
+        imgs = spark.read.parquet(d + "/img")
+        feats = mm.extract_features(imgs)
+        plan = _plan(feats)
+        rs = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "caption" not in rs and "phash" not in rs, rs
+        assert "bytes" in rs
+
+
+def test_distance_join_broadcasts_small_queries(spark, sf_dir):
+    pts = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select("c_custkey",
+                   ((F.col("c_custkey") * 9973) % 17000 / 100.0 - 85.0)
+                   .alias("lat"),
+                   ((F.col("c_custkey") * 7919) % 36000 / 100.0 - 180.0)
+                   .alias("lon")))
+    q = spark.createDataFrame([(0, 40.0, -74.0), (1, 51.5, -0.1)],
+                              "qid long, lat double, lon double")
+    j = sj.distance_join(pts, q, radius_m=500e3)
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_lineage_resume_is_noop(spark):
+    with tempfile.TemporaryDirectory() as root:
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(100).withColumn(
+                "v", F.col("id") * 2)
+
+        df1 = lineage.run_stage(spark, root, "s1", build,
+                                input_fingerprint="fp1")
+        assert calls["n"] == 1
+        assert df1.count() == 100
+        # resume: same fingerprint -> no recompute
+        df2 = lineage.run_stage(spark, root, "s1", build,
+                                input_fingerprint="fp1")
+        assert calls["n"] == 1
+        assert df2.count() == 100
+        # changed input -> recompute
+        lineage.run_stage(spark, root, "s1", build,
+                          input_fingerprint="fp2")
+        assert calls["n"] == 2
+        assert lineage.verify_stage(spark, root, "s1")
+        # lineage sidecar exists with per-partition rows
+        lin = spark.read.parquet(os.path.join(root, "s1", "_lineage"))
+        assert lin.agg(F.sum("rows")).collect()[0][0] == 100
