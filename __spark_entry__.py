@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_direct_destinations": Q.sphere_direct_destinations,
         "tile_counts": Q.tile_counts,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
+        "sphere_nearest_landmark": Q.sphere_nearest_landmark,
+        "sphere_gnomonic": Q.sphere_gnomonic,
+        "sphere_waypoints": Q.sphere_waypoints,
+        "sphere_polygon_area": Q.sphere_polygon_area,
         # documents: dedup + text analysis
         "doc_dedup_summary": Q.doc_dedup_summary,
         "doc_token_stats": Q.doc_token_stats,

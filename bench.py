@@ -64,7 +64,11 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         timed(name, lambda f=fn: f(spark, sf_dir)
               .write.format("noop").mode("overwrite").save())
 
-    # flagship: images tiled + spatially joined (the north-rule metric)
+    # flagship: images tiled + spatially joined (the north-rule
+    # metric).  Every image is tiled AND annotated with its nearest
+    # landmark via the map-only broadcast-argmin join — a single
+    # shuffle-free Arrow stage — then rolled up per (tile, landmark).
+    from geographiclib_go_spark.operators import nearest as nno
     t0 = time.time()
     images = im.generate_images(spark, n_images, skew_pct=3).cache()
     n_gen = images.count()
@@ -73,11 +77,8 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     t0 = time.time()
     tiles = tiling.assign_tiles(
         images.select("image_id", "phash", "lat", "lon"), tile_res=6)
-    lm = pl.landmarks_df(spark)
-    near = sj.knn_join(tiles.select("image_id", "lat", "lon"), lm,
-                       k=1, res=3)
-    joined = (near.join(tiles, "image_id")
-              .groupBy("tile_id", "q_qid")
+    near = nno.nearest_dim_join(tiles, pl.DEFAULT_LANDMARKS, k=1)
+    joined = (near.groupBy("tile_id", "nn_id")
               .agg(F.count("*").alias("n_images"),
                    F.approx_count_distinct("phash").alias("n_phash")))
     n_out = joined.count()

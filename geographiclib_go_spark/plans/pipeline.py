@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geographiclib_go_spark.operators import nearest
 from geographiclib_go_spark.operators import spatial_join as sj
 from geographiclib_go_spark.operators import tiling
 from geographiclib_go_spark.plans import lineage
@@ -77,12 +78,17 @@ def tile_and_join(spark: SparkSession, images: DataFrame,
                                  min_rows=1000)
     salted = tiling.salt_hot_keys(tiles, "tile_id", hot)
 
-    # 4. nearest landmark per image (kNN join, k=1 via ring expansion)
-    lm = landmarks_df(spark)
-    near = _stage("nearest_landmark", lambda: sj.knn_join(
-        tiles.select("image_id", "lat", "lon"), lm, k=knn_k, res=3)
-        .select("image_id", F.col("q_qid").alias("landmark_id"),
-                "s12", "rank"))
+    # 4. nearest landmark per image: the dim side is tiny, so the
+    # scale-correct plan is the map-only broadcast-argmin join
+    # (operators/nearest.py) — zero shuffle, one Arrow stage over the
+    # images; NOT a shuffle join or a driver-looped kNN.
+    def _near():
+        out = nearest.nearest_dim_join(
+            tiles.select("image_id", "lat", "lon"), DEFAULT_LANDMARKS,
+            k=knn_k).withColumnRenamed("nn_id", "landmark_id")
+        cols = ["image_id", "landmark_id", "s12"]
+        return out.select(*(cols + (["rank"] if knn_k > 1 else [])))
+    near = _stage("nearest_landmark", _near)
 
     # 5. PIP join vs polygon catalog (Antarctica fixture)
     polys = {1: ANTARCTICA_RING}

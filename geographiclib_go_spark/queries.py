@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 
 from geographiclib_go_spark.kernels import caps as C
 from geographiclib_go_spark.functions.geodesic_udfs import (
-    make_direct_udf, make_inverse_udf)
+    make_direct_udf, make_gnomonic_fwd_udf, make_inverse_udf,
+    make_waypoint_udf)
 from geographiclib_go_spark.operators import dedup as ded
+from geographiclib_go_spark.operators import nearest as nno
 from geographiclib_go_spark.operators import similarity as sim
 from geographiclib_go_spark.operators import spatial_join as sj
 from geographiclib_go_spark.operators import text as tx
@@ -294,6 +296,96 @@ def ellip_nearest_landmark(spark, sf_dir):
             .orderBy("q_qid"))
 
 
+def sphere_nearest_landmark(spark, sf_dir):
+    """Map-only broadcast-argmin join (operators/nearest.py): every
+    customer point annotated with its nearest landmark — the flagship
+    join shape (zero shuffle), sphere variant so DuckDB's haversine is
+    an exact oracle."""
+    pts = _customer_points(spark, sf_dir)
+    got = nno.nearest_dim_join(pts, LANDMARKS, k=1, a=SPHERE_A, f=0.0)
+    return (got.select("c_custkey", "nn_id",
+                       F.round(F.col("s12"), 1).alias("dist_m"))
+            .orderBy("c_custkey"))
+
+
+def sphere_gnomonic(spark, sf_dir):
+    """Ellipsoidal gnomonic forward (gnomonic.go:92-106) at f=0 about
+    London; the sphere closed form (x = R tan c sin az) is the SQL
+    oracle.  rk (= M12 = cos c on the sphere) > 0.7 keeps the
+    projection well-conditioned (|x|,|y| <= ~R)."""
+    pts = _customer_points(spark, sf_dir)
+    fwd = make_gnomonic_fwd_udf(a=SPHERE_A, f=0.0)
+    ctr = LANDMARKS[1]
+    out = pts.withColumn(
+        "_g", fwd(F.lit(float(ctr[1])), F.lit(float(ctr[2])),
+                  F.col("lat"), F.col("lon")))
+    return (out.filter(F.col("_g.rk") > 0.7)
+            .select("c_custkey",
+                    F.round(F.col("_g.x"), 2).alias("x_m"),
+                    F.round(F.col("_g.y"), 2).alias("y_m"))
+            .orderBy("c_custkey"))
+
+
+def sphere_waypoints(spark, sf_dir):
+    """InverseLine + Position stepping (line.go:290-454): 21 waypoints
+    along each consecutive-landmark geodesic, fanned out with
+    explode(sequence(...)).  On the sphere the great-circle slerp is
+    the SQL oracle."""
+    lm = _landmarks_df(spark)
+    nxt = (lm.select(((F.col("qid") + 11) % 12).alias("qid"),
+                     F.col("lat").alias("lat2"),
+                     F.col("lon").alias("lon2")))
+    pairs = lm.join(nxt, "qid")
+    inv = make_inverse_udf(a=SPHERE_A, f=0.0,
+                           mask=C.DISTANCE | C.AZIMUTH)
+    pairs = pairs.withColumn(
+        "_i", inv(F.col("lat"), F.col("lon"),
+                  F.col("lat2"), F.col("lon2")))
+    wp = make_waypoint_udf(a=SPHERE_A, f=0.0,
+                           mask=C.LATITUDE | C.LONGITUDE)
+    fan = pairs.select(
+        "qid", "lat", "lon", F.col("_i.azi1").alias("azi1"),
+        F.col("_i.s12").alias("s13"),
+        F.explode(F.sequence(F.lit(0), F.lit(20))).alias("i"))
+    out = fan.withColumn(
+        "_p", wp(F.col("lat"), F.col("lon"), F.col("azi1"),
+                 F.col("i") * F.col("s13") / F.lit(20.0)))
+    return (out.select("qid", F.col("i").cast("long").alias("i"),
+                       F.round(F.col("_p.lat2"), 6).alias("lat2_r"),
+                       F.round(F.col("_p.lon2"), 6).alias("lon2_r"))
+            .orderBy("qid", "i"))
+
+
+# triangle fixtures for the polygon-area oracle: moderate lon spans
+# (no pole enclosure, so the SQL spherical-excess trapezoid sum is
+# exact); tri 7 straddles the dateline to exercise lon normalization
+_TRIANGLES = [
+    (0, ((10.0, 40.0, 20.0), (20.0, 30.0, 60.0))),
+    (1, ((-60.0, -40.0, -55.0), (10.0, 25.0, 50.0))),
+    (2, ((0.0, 0.0, 30.0), (0.0, 40.0, 20.0))),
+    (3, ((45.0, 50.0, 60.0), (-120.0, -80.0, -100.0))),
+    (4, ((-5.0, 5.0, 15.0), (100.0, 140.0, 120.0))),
+    (5, ((65.0, 70.0, 75.0), (10.0, 40.0, 25.0))),
+    (6, ((-30.0, -25.0, -45.0), (-60.0, -20.0, -40.0))),
+    (7, ((10.0, 12.0, -5.0), (170.0, -175.0, 178.0))),
+]
+
+
+def sphere_polygon_area(spark, sf_dir):
+    """PolygonArea fold (polygon.go:85-168) through the grouped-map
+    aggregate, sphere variant: |area| and perimeter of 8 triangles vs
+    the SQL spherical-excess trapezoid sum."""
+    rows = [(tid, seq, float(lats[seq]), float(lons[seq]))
+            for tid, (lats, lons) in _TRIANGLES for seq in range(3)]
+    verts = spark.createDataFrame(
+        rows, "poly_id long, seq int, lat double, lon double")
+    res = tiling.polygon_area_agg(verts, a=SPHERE_A, f=0.0)
+    return (res.select("poly_id", "num",
+                       F.round(F.col("perimeter"), -2).alias("perim_r"),
+                       F.round(F.abs(F.col("area")), -3).alias("area_r"))
+            .orderBy("poly_id"))
+
+
 # --------------------------------------------------------------------------
 # Documents: dedup + text analysis
 # --------------------------------------------------------------------------
@@ -411,6 +503,10 @@ def emb_ivf_topk(spark, sf_dir):
 _HAV_POINTS = (
     "WITH pts AS ({pts}), lm(qid, qlat, qlon) AS (VALUES {lm})"
 ).format(pts=_PTS_SQL, lm=_LM_VALUES_SQL)
+
+_TRI_VALUES_SQL = ", ".join(
+    f"({tid}, {seq}, {lats[seq]}, {lons[seq]})"
+    for tid, (lats, lons) in _TRIANGLES for seq in range(3))
 
 ORACLE_SQL = {
     "q1_pricing_summary": """
@@ -555,6 +651,81 @@ ORACLE_SQL = {
                           WHEN lon2 < -180 THEN lon2 + 360
                           ELSE lon2 END, 6) AS lon2_r
         FROM d ORDER BY qid, azi
+    """,
+    "sphere_nearest_landmark": f"""
+        {_HAV_POINTS}
+        SELECT c_custkey, qid AS nn_id, ROUND(dist, 1) AS dist_m FROM (
+            SELECT c_custkey, qid, {_HAVERSINE} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY c_custkey
+                       ORDER BY {_HAVERSINE} ASC, qid ASC) AS rk
+            FROM pts, lm) t
+        WHERE rk = 1 ORDER BY c_custkey
+    """,
+    "sphere_gnomonic": f"""
+        WITH pts AS ({_PTS_SQL}),
+        t AS (SELECT c_custkey,
+            SIN(RADIANS(51.5074)) * SIN(RADIANS(lat))
+              + COS(RADIANS(51.5074)) * COS(RADIANS(lat))
+                * COS(RADIANS(lon - (-0.1278))) AS cosc,
+            COS(RADIANS(lat)) * SIN(RADIANS(lon - (-0.1278))) AS xn,
+            COS(RADIANS(51.5074)) * SIN(RADIANS(lat))
+              - SIN(RADIANS(51.5074)) * COS(RADIANS(lat))
+                * COS(RADIANS(lon - (-0.1278))) AS yn
+          FROM pts)
+        SELECT c_custkey,
+               ROUND({SPHERE_A} * xn / cosc, 2) AS x_m,
+               ROUND({SPHERE_A} * yn / cosc, 2) AS y_m
+        FROM t WHERE cosc > 0.7 ORDER BY c_custkey
+    """,
+    "sphere_waypoints": f"""
+        WITH lm(qid, qlat, qlon) AS (VALUES {_LM_VALUES_SQL}),
+        pairs AS (
+          SELECT a.qid AS qid,
+                 RADIANS(a.qlat) p1, RADIANS(a.qlon) l1,
+                 RADIANS(b.qlat) p2, RADIANS(b.qlon) l2
+          FROM lm a JOIN lm b ON b.qid = (a.qid + 1) % 12),
+        v AS (SELECT qid,
+                COS(p1)*COS(l1) x1, COS(p1)*SIN(l1) y1, SIN(p1) z1,
+                COS(p2)*COS(l2) x2, COS(p2)*SIN(l2) y2, SIN(p2) z2
+              FROM pairs),
+        av AS (SELECT *, ACOS(LEAST(1.0, GREATEST(-1.0,
+                 x1*x2 + y1*y2 + z1*z2))) ang FROM v),
+        s AS (SELECT v AS i FROM range(0, 21) t(v)),
+        w AS (SELECT qid, i,
+                (SIN((1 - i/20.0)*ang)*x1 + SIN((i/20.0)*ang)*x2) AS x,
+                (SIN((1 - i/20.0)*ang)*y1 + SIN((i/20.0)*ang)*y2) AS y,
+                (SIN((1 - i/20.0)*ang)*z1 + SIN((i/20.0)*ang)*z2) AS z
+              FROM av, s)
+        SELECT qid, i,
+               ROUND(DEGREES(ASIN(z / SQRT(x*x + y*y + z*z))), 6)
+                   AS lat2_r,
+               ROUND(DEGREES(ATAN2(y, x)), 6) AS lon2_r
+        FROM w ORDER BY qid, i
+    """,
+    "sphere_polygon_area": f"""
+        WITH verts(poly_id, seq, lat, lon) AS (VALUES {_TRI_VALUES_SQL}),
+        edges AS (
+          SELECT a.poly_id, a.lat la1, a.lon lo1, b.lat la2, b.lon lo2
+          FROM verts a JOIN verts b
+            ON b.poly_id = a.poly_id AND b.seq = (a.seq + 1) % 3),
+        e AS (SELECT poly_id,
+                (lo2 - lo1) - 360.0 * ROUND((lo2 - lo1) / 360.0) AS dl,
+                TAN(RADIANS(la1)/2) f1, TAN(RADIANS(la2)/2) f2,
+                2.0 * {SPHERE_A} * ASIN(SQRT(
+                  POW(SIN(RADIANS(la2 - la1)/2), 2)
+                  + COS(RADIANS(la1)) * COS(RADIANS(la2))
+                    * POW(SIN(RADIANS(lo2 - lo1)/2), 2))) AS edge_len
+              FROM edges),
+        agg AS (SELECT poly_id, COUNT(*) AS num,
+                  SUM(edge_len) AS perim,
+                  {SPHERE_A} * {SPHERE_A} * SUM(
+                    2.0 * ATAN2(TAN(RADIANS(dl)/2) * (f1 + f2),
+                                1.0 + f1 * f2)) AS area
+                FROM e GROUP BY poly_id)
+        SELECT poly_id, CAST(num AS BIGINT) AS num,
+               ROUND(perim, -2) AS perim_r,
+               ROUND(ABS(area), -3) AS area_r
+        FROM agg ORDER BY poly_id
     """,
     "doc_dedup_summary": """
         SELECT CAST(SUM(c) AS BIGINT) AS n_docs,

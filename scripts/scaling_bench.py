@@ -23,7 +23,7 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from geographiclib_go_spark.session import build_session
 from geographiclib_go_spark.sources import images as im
-from geographiclib_go_spark.operators import tiling, spatial_join as sj
+from geographiclib_go_spark.operators import tiling, nearest as nno
 from geographiclib_go_spark.plans import pipeline as pl
 from pyspark.sql import functions as F
 
@@ -33,16 +33,15 @@ sf_dir = sys.argv[3]
 spark = build_session(app=f"scale-{{cpus}}", master=f"local[{{cpus}}]")
 spark.range(1000).select(F.sum("id")).collect()  # warm up
 
-# fixed work: generate + tile + kNN-join + aggregate (the flagship)
+# fixed work: generate + tile + nearest-landmark join + aggregate
 t0 = time.time()
 images = im.generate_images(spark, n_images, skew_pct=3).cache()
 n = images.count()
 tiles = tiling.assign_tiles(
     images.select("image_id", "phash", "lat", "lon"), tile_res=6)
-lm = pl.landmarks_df(spark)
-near = sj.knn_join(tiles.select("image_id", "lat", "lon"), lm, k=1, res=3)
-out = (near.join(tiles, "image_id")
-       .groupBy("tile_id", "q_qid")
+# map-only broadcast-argmin nearest-landmark join (zero shuffle)
+near = nno.nearest_dim_join(tiles, pl.DEFAULT_LANDMARKS, k=1)
+out = (near.groupBy("tile_id", "nn_id")
        .agg(F.count("*").alias("n_images")))
 n_out = out.count()
 wall = time.time() - t0
