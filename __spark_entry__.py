@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_volume": Q.q5_nation_volume,
         "window_top_orders": Q.window_top_orders,
         "rollup_order_volume": Q.rollup_order_volume,
+        "cube_order_volume": Q.cube_order_volume,
         "customers_without_orders": Q.customers_without_orders,
         "events_hourly": Q.events_hourly,
         "events_props_sum": Q.events_props_sum,
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_knn": Q.sphere_knn,
         "pip_dateline_box": Q.pip_dateline_box,
         "sphere_direct_destinations": Q.sphere_direct_destinations,
+        "sphere_arc_destinations": Q.sphere_arc_destinations,
         "tile_counts": Q.tile_counts,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,

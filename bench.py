@@ -56,7 +56,8 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "window_top_orders", "rollup_order_volume", "events_hourly",
         "sphere_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
-        "ellip_nearest_landmark",
+        "ellip_nearest_landmark", "sphere_nearest_landmark",
+        "sphere_polygon_area", "tile_counts",
         "doc_token_stats", "doc_minhash_pairs", "emb_cosine_topk",
     ]
     for name in headline:
@@ -89,7 +90,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 15 queries)",
+                  "pipeline + 18 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -38,6 +38,7 @@ from geographiclib_go_spark.kernels.geodesic import (
 from geographiclib_go_spark.kernels.inverse import inverse as kinverse
 
 MAX_DIM_ROWS = 100_000  # closure-broadcast budget (3 float64 arrays)
+CHUNK = 8192  # rows per kernel slice (keeps temporaries in cache)
 
 
 def _unit_vectors(lat_deg: np.ndarray, lon_deg: np.ndarray) -> np.ndarray:
@@ -100,9 +101,11 @@ def nearest_dim_kernel(g: GeodesicModel, lat: np.ndarray, lon: np.ndarray,
 def make_nearest_dim_udf(dim_rows, k: int = 1,
                          a: float = WGS84_A, f: float = WGS84_F):
     """dim_rows: iterable of (id, lat, lon).  Returns a pandas UDF
-    nearest(lat, lon) -> struct<nn_ids array<long>, nn_s12 array<double>>
-    (ascending distance).  For k=1 prefer `nearest_dim_join` which
-    flattens to scalar columns."""
+    nearest(lat, lon):
+      k == 1 -> struct<nn_id long, nn_s12 double>  (pure columnar —
+               no per-row Python objects cross the Arrow boundary)
+      k > 1  -> struct<nn_ids array<long>, nn_s12 array<double>>
+               (ascending distance)."""
     dim = list(dim_rows)
     if not dim or len(dim) > MAX_DIM_ROWS:
         raise ValueError(f"dim side must have 1..{MAX_DIM_ROWS} rows")
@@ -111,6 +114,33 @@ def make_nearest_dim_udf(dim_rows, k: int = 1,
     dim_lon = np.array([float(r[2]) for r in dim])
     dim_vec = _unit_vectors(dim_lat, dim_lon)
     g = GeodesicModel(a, f)
+
+    if k == 1:
+        schema1 = T.StructType([
+            T.StructField("nn_id", T.LongType(), False),
+            T.StructField("nn_s12", T.DoubleType(), False),
+        ])
+
+        @pandas_udf(schema1)
+        def nearest1(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+            la = lat.to_numpy(np.float64)
+            lo = lon.to_numpy(np.float64)
+            n = la.size
+            out_id = np.empty(n, dtype=np.int64)
+            out_s = np.empty(n)
+            # slice the Arrow batch so the kernel's temporaries stay
+            # cache-resident even with many concurrent workers
+            step = CHUNK
+            for lo_i in range(0, n, step):
+                sl = slice(lo_i, min(lo_i + step, n))
+                ids, s12 = nearest_dim_kernel(
+                    g, la[sl], lo[sl], dim_ids, dim_lat, dim_lon,
+                    dim_vec, 1)
+                out_id[sl] = ids[:, 0]
+                out_s[sl] = s12[:, 0]
+            return pd.DataFrame({"nn_id": out_id, "nn_s12": out_s})
+
+        return nearest1
 
     schema = T.StructType([
         T.StructField("nn_ids", T.ArrayType(T.LongType()), False),
@@ -145,8 +175,8 @@ def nearest_dim_join(big: DataFrame, dim, k: int = 1,
     udf = make_nearest_dim_udf(dim, k=k, a=a, f=f)
     out = big.withColumn("_nn", udf(F.col(lat_col), F.col(lon_col)))
     if k == 1:
-        return (out.withColumn(id_out, F.col("_nn.nn_ids")[0])
-                .withColumn(s12_out, F.col("_nn.nn_s12")[0])
+        return (out.withColumn(id_out, F.col("_nn.nn_id"))
+                .withColumn(s12_out, F.col("_nn.nn_s12"))
                 .drop("_nn"))
     zipped = F.arrays_zip(F.col("_nn.nn_ids").alias("i"),
                           F.col("_nn.nn_s12").alias("d"))

@@ -164,6 +164,21 @@ def rollup_order_volume(spark, sf_dir):
                  _dec_sum("o_totalprice").alias("total_price")))
 
 
+def cube_order_volume(spark, sf_dir):
+    """CUBE over (region, order priority): all grouping-set combos."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region),
+               nation.n_regionkey == region.r_regionkey))
+    return (j.cube("r_name", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 _dec_sum("o_totalprice").alias("total_price")))
+
+
 def customers_without_orders(spark, sf_dir):
     """Anti join: customers that never ordered."""
     cust = _t(spark, sf_dir, "customer")
@@ -271,13 +286,31 @@ def sphere_direct_destinations(spark, sf_dir):
             .orderBy("qid", "azi"))
 
 
+def sphere_arc_destinations(spark, sf_dir):
+    """Arc-direct problem (direct.go:19-22) on the sphere: destination
+    and distance at spherical arc 15 deg for 8 azimuths x 12 landmarks,
+    vs the closed-form SQL oracle."""
+    lm = _landmarks_df(spark)
+    azi = spark.range(0, 8).select((F.col("id") * 45.0).alias("azi"))
+    d = make_direct_udf(a=SPHERE_A, f=0.0,
+                        mask=C.LATITUDE | C.LONGITUDE | C.DISTANCE,
+                        arcmode=True)
+    g = lm.crossJoin(azi)
+    out = d(F.col("lat"), F.col("lon"), F.col("azi"), F.lit(15.0))
+    return (g.withColumn("_d", out)
+            .select("qid", "azi",
+                    F.round(F.col("_d.lat2"), 6).alias("lat2_r"),
+                    F.round(F.col("_d.lon2"), 6).alias("lon2_r"),
+                    F.round(F.col("_d.s12"), 1).alias("s12_r"))
+            .orderBy("qid", "azi"))
+
+
 def tile_counts(spark, sf_dir):
     """Tile assignment at res 3 over customer points -> per-tile
-    counts (the tiling operator's cell function is the implicit
-    kernel; the oracle recomputes membership via the closed-form
-    sphere distance to tile centers is impossible in SQL, so this
-    query instead validates determinism of counts against a Spark
-    re-run; row-count-only oracle)."""
+    counts.  The cube-face quadtree encode (operators/cells.py:
+    face -> gnomonic uv -> quadratic st -> Morton) is replicated
+    closed-form in the DuckDB oracle, so every tile_id is verified
+    row-for-row in SQL."""
     pts = _customer_points(spark, sf_dir)
     t = tiling.assign_tiles(pts, 3)
     return (t.groupBy("tile_id").agg(F.count("*").alias("n"))
@@ -565,6 +598,16 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
     """,
+    "cube_order_volume": """
+        SELECT r_name, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE(r_name, o_orderpriority)
+    """,
     "customers_without_orders": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -652,6 +695,31 @@ ORACLE_SQL = {
                           ELSE lon2 END, 6) AS lon2_r
         FROM d ORDER BY qid, azi
     """,
+    "sphere_arc_destinations": f"""
+        WITH lm(qid, qlat, qlon) AS (VALUES {_LM_VALUES_SQL}),
+        az AS (SELECT (v * 45.0) AS azi FROM range(0, 8) t(v)),
+        d0 AS (
+          SELECT qid, azi, qlat, qlon,
+            SIN(RADIANS(qlat)) * COS(RADIANS(15.0))
+              + COS(RADIANS(qlat)) * SIN(RADIANS(15.0))
+                * COS(RADIANS(azi)) AS sin_lat2
+          FROM lm, az),
+        d AS (
+          SELECT qid, azi,
+            DEGREES(ASIN(sin_lat2)) AS lat2,
+            DEGREES(RADIANS(qlon) + ATAN2(
+              SIN(RADIANS(azi)) * SIN(RADIANS(15.0))
+                * COS(RADIANS(qlat)),
+              COS(RADIANS(15.0))
+                - SIN(RADIANS(qlat)) * sin_lat2)) AS lon2
+          FROM d0)
+        SELECT qid, azi, ROUND(lat2, 6) AS lat2_r,
+               ROUND(CASE WHEN lon2 >= 180 THEN lon2 - 360
+                          WHEN lon2 < -180 THEN lon2 + 360
+                          ELSE lon2 END, 6) AS lon2_r,
+               ROUND({SPHERE_A} * RADIANS(15.0), 1) AS s12_r
+        FROM d ORDER BY qid, azi
+    """,
     "sphere_nearest_landmark": f"""
         {_HAV_POINTS}
         SELECT c_custkey, qid AS nn_id, ROUND(dist, 1) AS dist_m FROM (
@@ -726,6 +794,49 @@ ORACLE_SQL = {
                ROUND(perim, -2) AS perim_r,
                ROUND(ABS(area), -3) AS area_r
         FROM agg ORDER BY poly_id
+    """,
+    "tile_counts": f"""
+        WITH pts AS ({_PTS_SQL}),
+        xyz AS (SELECT c_custkey,
+                  COS(RADIANS(lat))*COS(RADIANS(lon)) AS x,
+                  COS(RADIANS(lat))*SIN(RADIANS(lon)) AS y,
+                  SIN(RADIANS(lat)) AS z
+                FROM pts),
+        fc AS (SELECT *,
+                 CASE WHEN ABS(x) >= ABS(y) THEN
+                        CASE WHEN ABS(x) >= ABS(z)
+                             THEN CASE WHEN x >= 0 THEN 0 ELSE 1 END
+                             ELSE CASE WHEN z >= 0 THEN 4 ELSE 5 END END
+                      ELSE
+                        CASE WHEN ABS(y) >= ABS(z)
+                             THEN CASE WHEN y >= 0 THEN 2 ELSE 3 END
+                             ELSE CASE WHEN z >= 0 THEN 4 ELSE 5 END END
+                 END AS f
+               FROM xyz),
+        uv AS (SELECT c_custkey, f,
+                 CASE f WHEN 0 THEN y/x WHEN 1 THEN y/(-x)
+                        WHEN 2 THEN x/y WHEN 3 THEN x/(-y)
+                        WHEN 4 THEN x/z ELSE x/(-z) END AS u,
+                 CASE f WHEN 0 THEN z/x WHEN 1 THEN z/(-x)
+                        WHEN 2 THEN z/y WHEN 3 THEN z/(-y)
+                        WHEN 4 THEN y/z ELSE y/(-z) END AS v
+               FROM fc),
+        st AS (SELECT c_custkey, f,
+                 CASE WHEN u >= 0 THEN 0.5*SQRT(1+3*u)
+                      ELSE 1 - 0.5*SQRT(1-3*u) END AS s,
+                 CASE WHEN v >= 0 THEN 0.5*SQRT(1+3*v)
+                      ELSE 1 - 0.5*SQRT(1-3*v) END AS t
+               FROM uv),
+        ij AS (SELECT c_custkey, f,
+                 LEAST(GREATEST(CAST(FLOOR(s*8) AS BIGINT), 0), 7) AS i,
+                 LEAST(GREATEST(CAST(FLOOR(t*8) AS BIGINT), 0), 7) AS j
+               FROM st),
+        cells AS (SELECT c_custkey,
+                    f*64 + (i%2) + (j%2)*2 + ((i//2)%2)*4 + ((j//2)%2)*8
+                         + ((i//4)%2)*16 + ((j//4)%2)*32 AS tile_id
+                  FROM ij)
+        SELECT tile_id, COUNT(*) AS n FROM cells
+        GROUP BY tile_id ORDER BY tile_id
     """,
     "doc_dedup_summary": """
         SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
