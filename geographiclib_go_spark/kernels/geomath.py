@@ -89,11 +89,19 @@ def sum2(u, v):
 
 
 def polyval(coeffs, x):
-    """Horner evaluation of scalar coefficients over an array x."""
+    """Horner evaluation of scalar coefficients over an array x.
+    In-place multiply-add on one work buffer: one allocation total
+    instead of two per Horner step (this is a kernel hot path)."""
     x = arr(x)
-    y = np.full_like(x, coeffs[0]) if np.ndim(x) else float(coeffs[0])
+    if not np.ndim(x):
+        y = float(coeffs[0])
+        for c in coeffs[1:]:
+            y = y * x + c
+        return y
+    y = np.full_like(x, coeffs[0])
     for c in coeffs[1:]:
-        y = y * x + c
+        y *= x
+        y += c
     return y
 
 
@@ -257,9 +265,15 @@ def sin_cos_series(sinp: bool, sinx, cosx, c):
     while n:
         n -= 1
         k -= 1
-        y1 = ar * y0 - y1 + c[k]
+        t = ar * y0
+        t -= y1
+        t += c[k]
+        y1 = t
         k -= 1
-        y0 = ar * y1 - y0 + c[k]
+        t = ar * y1
+        t -= y0
+        t += c[k]
+        y0 = t
     if sinp:
         return 2 * sinx * cosx * y0
     return cosx * (y0 - y1)
@@ -361,7 +375,10 @@ def c1f(eps):
             (-7.0, 1280.0), (-7.0, 2048.0))
     for row in rows:
         poly, denom = row[:-1], row[-1]
-        c.append(d * polyval(poly, eps2) / denom)
+        t = polyval(poly, eps2)
+        t *= d
+        t /= denom
+        c.append(t)
         d = d * eps
     return c
 
@@ -377,7 +394,10 @@ def c1pf(eps):
             (3467.0, 7680.0), (38081.0, 61440.0))
     for row in rows:
         poly, denom = row[:-1], row[-1]
-        c.append(d * polyval(poly, eps2) / denom)
+        t = polyval(poly, eps2)
+        t *= d
+        t /= denom
+        c.append(t)
         d = d * eps
     return c
 
@@ -400,6 +420,9 @@ def c2f(eps):
             (63.0, 1280.0), (77.0, 2048.0))
     for row in rows:
         poly, denom = row[:-1], row[-1]
-        c.append(d * polyval(poly, eps2) / denom)
+        t = polyval(poly, eps2)
+        t *= d
+        t /= denom
+        c.append(t)
         d = d * eps
     return c
