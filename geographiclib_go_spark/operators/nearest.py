@@ -158,6 +158,167 @@ def make_nearest_dim_udf(dim_rows, k: int = 1,
     return nearest
 
 
+def knn_points_topk(points: DataFrame, queries, k: int,
+                    a: float = WGS84_A, f: float = WGS84_F,
+                    point_cols=("lat", "lon"),
+                    query_cols=("lat", "lon"),
+                    id_col: str = "qid") -> DataFrame:
+    """k nearest POINTS for each of a SMALL set of queries — the
+    transposed shape of nearest_dim_join, as a classic distributed
+    top-k: one scan of the points emits per-chunk local top-k
+    candidates per query (chord prefilter + exact kernel, same margin
+    bound as nearest_dim_kernel), then a tiny global window keeps the
+    true top-k.  No ring logic, no driver rounds, no shuffle of the
+    big side — the scale plan for "nearest images to each landmark"
+    at 10^12 rows.
+
+    queries: DataFrame (id, lat, lon) or iterable of (id, lat, lon).
+    Output matches spatial_join.knn_join: q_* columns + point columns
+    + s12 + rank.
+    """
+    spark = points.sparkSession
+    if isinstance(queries, DataFrame):
+        qdf = queries
+        qrows = [(r[id_col], r[query_cols[0]], r[query_cols[1]])
+                 for r in qdf.collect()]
+    else:
+        qrows = list(queries)
+        qdf = spark.createDataFrame(
+            [(int(i), float(la), float(lo)) for i, la, lo in qrows],
+            f"{id_col} long, lat double, lon double")
+    if not qrows or len(qrows) > MAX_DIM_ROWS:
+        raise ValueError(f"query side must have 1..{MAX_DIM_ROWS} rows")
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qlat = np.array([float(r[1]) for r in qrows])
+    qlon = np.array([float(r[2]) for r in qrows])
+    qvec = _unit_vectors(qlat, qlon)
+    g = GeodesicModel(a, f)
+    f_abs = abs(f)
+    ratio = (g.a / g.b) * (1.0 + 8.0 * f_abs) + 1e-12
+    pad = 4.0 * f_abs + 1e-12
+    lat_col, lon_col = point_cols
+
+    qkey = f"q_{id_col}"
+    from pyspark.sql import types as T
+    out_schema = T.StructType(
+        list(points.schema.fields)
+        + [T.StructField(qkey, T.LongType(), False),
+           T.StructField("s12", T.DoubleType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            n_all = len(pdf)
+            for lo_i in range(0, n_all, CHUNK):
+                sub = pdf.iloc[lo_i:lo_i + CHUNK]
+                la = sub[lat_col].to_numpy(np.float64)
+                lo = sub[lon_col].to_numpy(np.float64)
+                kk = min(k, la.size)
+                if kk == 0:
+                    continue
+                p = _unit_vectors(la, lo)
+                ang = np.arccos(np.clip(p @ qvec.T, -1.0, 1.0))
+                if kk < la.size:
+                    kth = np.partition(ang, kk - 1, axis=0)[kk - 1, :]
+                else:
+                    kth = ang.max(axis=0)
+                cand = ang <= (kth[None, :] * ratio + pad)
+                rows, cols = np.nonzero(cand)
+                s12 = kinverse(g, la[rows], lo[rows], qlat[cols],
+                               qlon[cols], C.DISTANCE)["s12"]
+                order = np.lexsort((s12, cols))
+                rows_o, cols_o, s_o = (rows[order], cols[order],
+                                       s12[order])
+                first = np.r_[True, cols_o[1:] != cols_o[:-1]]
+                grp = np.maximum.accumulate(
+                    np.where(first, np.arange(cols_o.size), 0))
+                keep = (np.arange(cols_o.size) - grp) < kk
+                out = sub.iloc[rows_o[keep]].copy()
+                out[qkey] = qids[cols_o[keep]]
+                out["s12"] = s_o[keep]
+                yield out
+
+    cand_df = points.mapInPandas(gen, out_schema)
+    from pyspark.sql import Window
+    w = Window.partitionBy(qkey).orderBy(F.col("s12").asc())
+    top = (cand_df.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k))
+    q_pref = qdf
+    for c in q_pref.columns:
+        q_pref = q_pref.withColumnRenamed(c, f"q_{c}")
+    return top.join(F.broadcast(q_pref), qkey)
+
+
+def radius_dim_join(points: DataFrame, queries, radius_m: float,
+                    a: float = WGS84_A, f: float = WGS84_F,
+                    point_cols=("lat", "lon"),
+                    query_cols=("lat", "lon"),
+                    id_col: str = "qid") -> DataFrame:
+    """All (query, point) pairs with geodesic s12 <= radius_m, for a
+    SMALL query set — map-only: the chord-angle bound sigma <= R/b
+    (s12 >= b * sigma on the auxiliary sphere), widened by the same
+    safety margin as nearest_dim_kernel, prefilters candidates inside
+    the scan; the exact kernel refines.  No cover explode, no
+    broadcast join, no shuffle of the big side.
+
+    Output matches spatial_join.distance_join: q_* columns + point
+    columns + s12.
+    """
+    spark = points.sparkSession
+    if isinstance(queries, DataFrame):
+        qdf = queries
+        qrows = [(r[id_col], r[query_cols[0]], r[query_cols[1]])
+                 for r in qdf.collect()]
+    else:
+        qrows = list(queries)
+        qdf = spark.createDataFrame(
+            [(int(i), float(la), float(lo)) for i, la, lo in qrows],
+            f"{id_col} long, lat double, lon double")
+    if not qrows or len(qrows) > MAX_DIM_ROWS:
+        raise ValueError(f"query side must have 1..{MAX_DIM_ROWS} rows")
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qlat = np.array([float(r[1]) for r in qrows])
+    qlon = np.array([float(r[2]) for r in qrows])
+    qvec = _unit_vectors(qlat, qlon)
+    g = GeodesicModel(a, f)
+    f_abs = abs(f)
+    ang_max = (radius_m / g.b) * ((g.a / g.b) * (1 + 8 * f_abs)
+                                  + 1e-12) + 4 * f_abs + 1e-12
+    lat_col, lon_col = point_cols
+    qkey = f"q_{id_col}"
+    out_schema = T.StructType(
+        list(points.schema.fields)
+        + [T.StructField(qkey, T.LongType(), False),
+           T.StructField("s12", T.DoubleType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            n_all = len(pdf)
+            for lo_i in range(0, n_all, CHUNK):
+                sub = pdf.iloc[lo_i:lo_i + CHUNK]
+                la = sub[lat_col].to_numpy(np.float64)
+                lo = sub[lon_col].to_numpy(np.float64)
+                if la.size == 0:
+                    continue
+                p = _unit_vectors(la, lo)
+                ang = np.arccos(np.clip(p @ qvec.T, -1.0, 1.0))
+                rows, cols = np.nonzero(ang <= ang_max)
+                if rows.size == 0:
+                    continue
+                s12 = kinverse(g, la[rows], lo[rows], qlat[cols],
+                               qlon[cols], C.DISTANCE)["s12"]
+                keep = s12 <= radius_m
+                out = sub.iloc[rows[keep]].copy()
+                out[qkey] = qids[cols[keep]]
+                out["s12"] = s12[keep]
+                yield out
+
+    cand_df = points.mapInPandas(gen, out_schema)
+    q_pref = qdf
+    for c in q_pref.columns:
+        q_pref = q_pref.withColumnRenamed(c, f"q_{c}")
+    return cand_df.join(F.broadcast(q_pref), qkey)
+
+
 def nearest_dim_join(big: DataFrame, dim, k: int = 1,
                      a: float = WGS84_A, f: float = WGS84_F,
                      lat_col: str = "lat", lon_col: str = "lon",

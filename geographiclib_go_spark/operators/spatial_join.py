@@ -103,11 +103,28 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
                   res: int = None,
                   a: float = WGS84_A, f: float = WGS84_F,
                   point_cols=("lat", "lon"), query_cols=("lat", "lon"),
-                  broadcast_queries: bool = None) -> DataFrame:
+                  broadcast_queries: bool = None,
+                  id_col: str = "qid",
+                  strategy: str = "auto") -> DataFrame:
     """All (query, point) pairs with geodesic s12 <= radius_m.
 
     Output: query columns (prefixed q_), point columns, s12.
+
+    Strategies: "scan" (auto when the query side is small) — map-only
+    chord-bound prefilter + exact refine inside the points scan, no
+    shuffle of the big side (operators/nearest.radius_dim_join);
+    "cover" — cell-cap cover explode + equi-join + refine, for query
+    sides too large to ship in a closure.
     """
+    if strategy == "auto":
+        strategy = ("scan" if _estimate_small(queries, limit_rows=4096)
+                    else "cover")
+    if strategy == "scan":
+        from geographiclib_go_spark.operators import nearest as _nn
+        return _nn.radius_dim_join(points, queries, radius_m, a=a, f=f,
+                                   point_cols=point_cols,
+                                   query_cols=query_cols,
+                                   id_col=id_col)
     plan_res, radius_rad = plan_radius(radius_m, a, f)
     if res is None:
         res = plan_res
@@ -157,14 +174,32 @@ def _estimate_small(df: DataFrame, limit_rows: int = 200_000) -> bool:
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              res: int = None, a: float = WGS84_A, f: float = WGS84_F,
              point_cols=("lat", "lon"), query_cols=("lat", "lon"),
-             id_col: str = "qid", max_rounds: int = 6) -> DataFrame:
+             id_col: str = "qid", max_rounds: int = 6,
+             strategy: str = "auto") -> DataFrame:
     """k nearest points for each query row (geodesic distance).
 
     Returns q_* columns + point columns + s12 + rank (1..k).
-    Ring-expansion: resolved queries drop out each round; the
-    termination bound is cells.ring_bound_m (conservative vs the
-    kernel, see tests/test_cells.py).
+
+    Two physical strategies (selection logged via the plan shape):
+    - "scan_topk" (auto-chosen when the query side is small): single
+      scan of the points emitting per-chunk local top-k candidates
+      per query, then a tiny global window — no driver rounds, no
+      shuffle of the big side (operators/nearest.knn_points_topk).
+    - "ring": iterative cell-ring expansion; resolved queries drop
+      out each round; termination bound is cells.ring_bound_m
+      (conservative vs the kernel, see tests/test_cells.py).  Used
+      when the query side is too large to ship in a closure.
     """
+    if strategy == "auto":
+        strategy = ("scan_topk"
+                    if _estimate_small(queries, limit_rows=4096)
+                    else "ring")
+    if strategy == "scan_topk":
+        from geographiclib_go_spark.operators import nearest as _nn
+        return _nn.knn_points_topk(points, queries, k, a=a, f=f,
+                                   point_cols=point_cols,
+                                   query_cols=query_cols,
+                                   id_col=id_col)
     g = GeodesicModel(a, f)
     n_pts = points.count()
     if res is None:

@@ -213,3 +213,38 @@ def test_images_source_invariants(spark):
                   and abs(r.lon - c[1]) <= im.HOT_RADIUS_DEG
                   for c in im.HOT_CENTERS)]
     assert len(hot) >= 10
+
+
+def test_knn_strategies_agree(spark, points_df, queries_pdf):
+    """scan_topk (single-scan partial top-k) and ring expansion must
+    return the same per-query distance sets."""
+    k = 3
+    qdf = spark.createDataFrame(queries_pdf.head(8))
+    a = sj.knn_join(points_df, qdf, k=k, res=4,
+                    strategy="scan_topk").select(
+        "q_qid", "pid", "s12").toPandas()
+    b = sj.knn_join(points_df, qdf, k=k, res=4, strategy="ring").select(
+        "q_qid", "pid", "s12").toPandas()
+    assert len(a) == len(b) == 8 * k
+    for qid in a.q_qid.unique():
+        da = np.sort(a[a.q_qid == qid].s12.to_numpy())
+        db = np.sort(b[b.q_qid == qid].s12.to_numpy())
+        np.testing.assert_array_equal(da, db)
+
+
+def test_distance_strategies_agree(spark, points_df, queries_pdf):
+    """scan (map-only chord prefilter) and cover (cell equi-join) must
+    produce the identical pair set with identical distances."""
+    radius = 800e3
+    qdf = spark.createDataFrame(queries_pdf)
+    a = sj.distance_join(points_df, qdf, radius,
+                         strategy="scan").select(
+        "q_qid", "pid", "s12").toPandas()
+    b = sj.distance_join(points_df, qdf, radius,
+                         strategy="cover").select(
+        "q_qid", "pid", "s12").toPandas()
+    pa = {(r.q_qid, r.pid): r.s12 for r in a.itertuples()}
+    pb = {(r.q_qid, r.pid): r.s12 for r in b.itertuples()}
+    assert pa.keys() == pb.keys() and len(pa) > 0
+    for key in pa:
+        assert pa[key] == pb[key]
