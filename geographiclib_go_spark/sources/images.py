@@ -121,18 +121,25 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"codec {fmt!r} not available in sandbox")
 
 
-def phash64(pix: np.ndarray) -> np.int64:
-    """64-bit perceptual hash: 8x8 mean-pool of the luma plane,
-    bit = cell > global mean (average-hash construction)."""
-    luma = pix.astype(np.float64).mean(axis=-1)
-    h, w = luma.shape
+def phash64_batch(pix: np.ndarray) -> np.ndarray:
+    """64-bit perceptual hash for a batch (n, h, w, 3) -> (n,) int64:
+    8x8 mean-pool of the luma plane, bit = cell > global mean
+    (average-hash construction), fully vectorized."""
+    luma = pix.astype(np.float64).mean(axis=-1)        # (n, h, w)
+    n, h, w = luma.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
-    pooled = luma[:8 * bh, :8 * bw].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (pooled > pooled.mean()).ravel()
-    v = np.uint64(0)
-    for b in bits:
-        v = (v << np.uint64(1)) | np.uint64(bool(b))
-    return np.int64(v.astype(np.int64))
+    pooled = luma[:, :8 * bh, :8 * bw] \
+        .reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))    # (n, 8, 8)
+    bits = (pooled > pooled.mean(axis=(1, 2))[:, None, None]) \
+        .reshape(n, 64)
+    # MSB-first packing matches the scalar shift-left construction
+    packed = np.packbits(bits, axis=1)                 # (n, 8) uint8
+    return packed.view(">u8")[:, 0].astype(np.int64)
+
+
+def phash64(pix: np.ndarray) -> np.int64:
+    """Single-image wrapper over phash64_batch."""
+    return np.int64(phash64_batch(pix[None])[0])
 
 
 def latlon_from_phash(phash: np.ndarray) -> tuple:
@@ -180,7 +187,8 @@ def generate_images(spark: SparkSession, n: int, skew_pct: int = 3,
                      % np.uint64(100)) < np.uint64(lossy_pct)
             rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
                                     "caption", "phash", "lat", "lon")}
-            # group by size so pixel generation vectorizes per size
+            # group by size so pixel generation + phash vectorize per
+            # size; only the bytes-object assembly stays per row
             for si, wh in enumerate(sizes):
                 m = size_pick == si
                 if not m.any():
@@ -188,22 +196,25 @@ def generate_images(spark: SparkSession, n: int, skew_pct: int = 3,
                 sub = ids[m]
                 pix = _pixels_for(sub, wh, wh)
                 sub_lossy = lossy[m]
+                q = 8
+                qpix = ((pix.astype(np.int32) // q) * q + q // 2) \
+                    .clip(0, 255).astype(np.uint8)
+                eff = np.where(sub_lossy[:, None, None, None], qpix, pix)
+                ph_all = phash64_batch(eff)
+                header = b"P6\n%d %d\n255\n" % (wh, wh)
                 for t, sid in enumerate(sub):
-                    p = pix[t]
                     if sub_lossy[t]:
-                        data = jpegsim_encode(p)
+                        data = b"JSIM\n" + header + qpix[t].tobytes()
                         fmt = "jpeg-sim"
-                        ph = phash64(jpegsim_decode(data))
                     else:
-                        data = ppm_encode(p)
+                        data = header + pix[t].tobytes()
                         fmt = "ppm"
-                        ph = phash64(p)
                     rows["image_id"].append(f"img_{int(sid):012d}")
                     rows["bytes"].append(data)
                     rows["w"].append(wh)
                     rows["h"].append(wh)
                     rows["fmt"].append(fmt)
-                    rows["phash"].append(int(ph))
+                    rows["phash"].append(int(ph_all[t]))
             ph_arr = np.array(rows["phash"], dtype=np.int64)
             id_arr = np.array(
                 [int(s.split("_")[1]) for s in rows["image_id"]],
