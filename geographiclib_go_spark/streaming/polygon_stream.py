@@ -122,3 +122,21 @@ def windowed_event_counts(events: DataFrame,
             .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
             .agg(F.count("*").alias("n_events"),
                  F.approx_count_distinct("user_id").alias("n_users")))
+
+
+def streaming_tile_counts(image_points: DataFrame, tile_res: int = 6,
+                          watermark: str = "10 minutes",
+                          window: str = "1 hour") -> DataFrame:
+    """Streaming analog of the flagship tile rollup: an append stream
+    of image placements (ts timestamp, image_id, phash, lat, lon) is
+    tile-assigned with the cell kernel (map-only, same operator as the
+    batch path) and aggregated into watermarked tumbling windows —
+    late placements beyond the watermark are dropped by Spark and
+    visible in each query's streaming metrics."""
+    from geographiclib_go_spark.operators import tiling
+    tiles = tiling.assign_tiles(image_points, tile_res)
+    return (tiles
+            .withWatermark("ts", watermark)
+            .groupBy(F.window(F.col("ts"), window), F.col("tile_id"))
+            .agg(F.count("*").alias("n_images"),
+                 F.approx_count_distinct("phash").alias("n_phash")))

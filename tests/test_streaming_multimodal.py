@@ -97,3 +97,48 @@ def test_audio_video_stubs():
         mm.decode_audio_stub(b"xx", "mp3")
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames_stub(b"xx", "mp4")
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    """Streaming tile assignment + windowed rollup matches the batch
+    tile counts for the same input; a late row beyond the watermark
+    is dropped."""
+    import pandas as pd
+    from geographiclib_go_spark.operators import tiling
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=m) for m in
+               [0, 5, 10, 20, 30, 40, 50, 55]],
+        "image_id": [f"img_{i}" for i in range(8)],
+        "phash": list(range(8)),
+        "lat": [10.0, 10.1, -20.0, 48.9, 48.85, -33.9, 10.05, 35.7],
+        "lon": [20.0, 20.1, 30.0, 2.35, 2.3, 151.2, 20.02, 139.7],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(src / "batch0"))
+
+    schema = ("ts timestamp, image_id string, phash long, "
+              "lat double, lon double")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    out = ps.streaming_tile_counts(stream, tile_res=6,
+                                   watermark="10 minutes",
+                                   window="1 hour")
+    q = (out.writeStream.format("memory").queryName("tile_stream")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT tile_id, n_images FROM tile_stream").toPandas()
+    finally:
+        q.stop()
+
+    batch = (tiling.assign_tiles(spark.createDataFrame(pdf), 6)
+             .groupBy("tile_id").count().toPandas())
+    want = dict(zip(batch.tile_id, batch["count"]))
+    got_latest = got.groupby("tile_id").n_images.max().to_dict()
+    assert got_latest == want
