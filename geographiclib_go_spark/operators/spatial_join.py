@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from geographiclib_go_spark.kernels import caps as C
+from geographiclib_go_spark.kernels import geomath as gm
 from geographiclib_go_spark.kernels.geodesic import (
     GeodesicModel, WGS84_A, WGS84_F)
 from geographiclib_go_spark.functions.geodesic_udfs import (
@@ -313,13 +314,43 @@ def polygon_cover_df(spark: SparkSession, polygons: dict, res: int,
                             T.StructField("_cell", T.LongType(), False)]))
 
 
-def pip_join(points: DataFrame, polygons: dict, res: int = 8,
+def plan_polygon_res(polygons: dict, target_cells: int = 256,
+                     lo: int = 2, hi: int = 12) -> int:
+    """Cell-cover planner (SURVEY.md §4.2): pick the cover resolution
+    from polygon bbox stats so the largest polygon's cover is about
+    `target_cells` cells.  Resolution is correctness-neutral (the PIP
+    refine restores exactness) but performance-critical: too coarse
+    floods the refine with candidates, too fine explodes the
+    broadcast cover."""
+    import math as _math
+    ext_deg = 1e-6
+    for _, (lats, lons) in polygons.items():
+        rla = np.asarray(lats, dtype=np.float64)
+        rlo = np.asarray(lons, dtype=np.float64)
+        n_in, s_in = kpip.pole_inside(rla, rlo)
+        if n_in or s_in:
+            ext_deg = max(ext_deg, 180.0)
+            continue
+        dlat = float(rla.max() - rla.min())
+        d, _e = gm.ang_diff(rlo[0], rlo)
+        dlon = float(d.max() - d.min()) * float(
+            np.cos(np.radians(np.abs(rla).min())))
+        ext_deg = max(ext_deg, dlat, dlon)
+    width_deg = max(ext_deg / _math.sqrt(max(target_cells, 4)), 1e-6)
+    width_m = _math.radians(width_deg) * 6371e3
+    return kcells.pick_resolution(width_m, 6371e3, lo=lo, hi=hi)
+
+
+def pip_join(points: DataFrame, polygons: dict, res: int = None,
              point_cols=("lat", "lon")) -> DataFrame:
     """Points annotated with the polygons containing them.
 
     polygons: poly_id -> (lats, lons) closed-ring vertex sequences.
     Plan: broadcast cover equi-join -> exact PIP refine (filter).
+    res=None auto-plans via plan_polygon_res (bbox-stat scout).
     """
+    if res is None:
+        res = plan_polygon_res(polygons)
     spark = points.sparkSession
     cover = polygon_cover_df(spark, polygons, res)
     pts = with_cell(points, res, *point_cols, out="_cell")

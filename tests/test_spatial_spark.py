@@ -248,3 +248,19 @@ def test_distance_strategies_agree(spark, points_df, queries_pdf):
     assert pa.keys() == pb.keys() and len(pa) > 0
     for key in pa:
         assert pa[key] == pb[key]
+
+
+def test_pip_autoplan_matches_explicit(spark, points_df):
+    """pip_join with auto-planned resolution returns the same point
+    set as an explicit resolution; planner picks sane levels."""
+    polys = {1: ANTARCTICA, 2: BOX_DATELINE}
+    r_auto = sj.plan_polygon_res(polys)
+    assert 2 <= r_auto <= 12
+    # small box alone should plan finer than the Antarctica ring
+    assert sj.plan_polygon_res({2: BOX_DATELINE}) >= r_auto
+    a = sj.pip_join(points_df, polys).select("poly_id", "pid").toPandas()
+    b = sj.pip_join(points_df, polys, res=6).select(
+        "poly_id", "pid").toPandas()
+    sa = set(zip(a.poly_id, a.pid))
+    sb = set(zip(b.poly_id, b.pid))
+    assert sa == sb and len(sa) > 0
