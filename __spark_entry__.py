@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,
         "sphere_polygon_area": Q.sphere_polygon_area,
+        "sphere_polygon_area_dist": Q.sphere_polygon_area_dist,
         # documents: dedup + text analysis
         "doc_dedup_summary": Q.doc_dedup_summary,
         "doc_token_stats": Q.doc_token_stats,

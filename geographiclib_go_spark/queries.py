@@ -419,6 +419,24 @@ def sphere_polygon_area(spark, sf_dir):
             .orderBy("poly_id"))
 
 
+def sphere_polygon_area_dist(spark, sf_dir):
+    """Same triangles through the SCALE path: lead() vertex pairing,
+    map-side edge kernel, (hi, lo) double-double partial+final
+    aggregation (accumulator.go:50-85 semantics across arbitrary
+    partitioning) — verified against the identical SQL oracle as the
+    grouped-map fold."""
+    rows = [(tid, seq, float(lats[seq]), float(lons[seq]))
+            for tid, (lats, lons) in _TRIANGLES for seq in range(3)]
+    verts = spark.createDataFrame(
+        rows, "poly_id long, seq int, lat double, lon double") \
+        .repartition(8)
+    res = tiling.polygon_area_distributed(verts, a=SPHERE_A, f=0.0)
+    return (res.select("poly_id", "num",
+                       F.round(F.col("perimeter"), -2).alias("perim_r"),
+                       F.round(F.abs(F.col("area")), -3).alias("area_r"))
+            .orderBy("poly_id"))
+
+
 # --------------------------------------------------------------------------
 # Documents: dedup + text analysis
 # --------------------------------------------------------------------------
@@ -973,3 +991,6 @@ ORACLE_SQL = {
         ORDER BY id_a, id_b
     """,
 }
+
+ORACLE_SQL["sphere_polygon_area_dist"] = \
+    ORACLE_SQL["sphere_polygon_area"]
