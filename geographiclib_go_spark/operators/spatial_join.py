@@ -14,10 +14,18 @@ inverse geodesic kernel (inverse.go:30-355) as the exact predicate:
   lower bound (validated in tests against the kernel).  Spark has no
   native kNN join; the loop is driver-coordinated but every step is a
   declarative DataFrame plan.
-- pip_join: polygon cover cells (driver-planned, broadcast) ->
-  equi-join -> exact point-in-polygon refine.
+- pip_join: polygon cover cells (driver-planned, auto-res via
+  plan_polygon_res, broadcast) -> equi-join -> exact point-in-polygon
+  refine.
 
-All kernels run as Arrow pandas UDFs; no per-row Python.
+distance_join and knn_join auto-select a physical strategy: when the
+query side is small enough to ship in a UDF closure they route to the
+map-only scans in operators/nearest.py (radius_dim_join /
+knn_points_topk — zero shuffle of the big side); the cover/ring plans
+here remain the large-query-side path.
+
+All kernels run as Arrow pandas UDFs over numpy batches; the only
+per-row Python is driver-side cover planning over the SMALL side.
 """
 
 from __future__ import annotations
