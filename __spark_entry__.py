@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_volume": Q.rollup_order_volume,
         "cube_order_volume": Q.cube_order_volume,
         "customers_without_orders": Q.customers_without_orders,
+        "supplier_balance_by_nation": Q.supplier_balance_by_nation,
         "events_hourly": Q.events_hourly,
         "events_props_sum": Q.events_props_sum,
         "part_type_pivot": Q.part_type_pivot,

@@ -179,6 +179,19 @@ def cube_order_volume(spark, sf_dir):
                  _dec_sum("o_totalprice").alias("total_price")))
 
 
+def supplier_balance_by_nation(spark, sf_dir):
+    """Broadcast dim join + grouped stats over the supplier table."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (supplier.join(F.broadcast(nation),
+                          supplier.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 _dec_sum("s_acctbal").alias("total_acctbal"),
+                 F.max("s_acctbal").alias("max_acctbal"))
+            .orderBy("n_name"))
+
+
 def customers_without_orders(spark, sf_dir):
     """Anti join: customers that never ordered."""
     cust = _t(spark, sf_dir, "customer")
@@ -625,6 +638,14 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY CUBE(r_name, o_orderpriority)
+    """,
+    "supplier_balance_by_nation": """
+        SELECT n_name, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_acctbal,
+               MAX(s_acctbal) AS max_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
     """,
     "customers_without_orders": """
         SELECT c_custkey, c_name FROM customer
