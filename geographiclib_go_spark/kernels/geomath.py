@@ -65,8 +65,10 @@ def atanh(x):
 
 def norm(sinx, cosx):
     """Normalize a (sin, cos) pair by sqrt(s^2+c^2) — NOT hypot, which
-    misrounds on some platforms (geomath.go:62-69)."""
-    r = np.sqrt(sq(sinx) + sq(cosx))
+    misrounds on some platforms (geomath.go:62-69).  Divides by r
+    directly (no reciprocal trick: x/r must round exactly like the
+    reference's scalar division)."""
+    r = np.sqrt(sinx * sinx + cosx * cosx)
     with np.errstate(invalid="ignore", divide="ignore"):
         return sinx / r, cosx / r
 
