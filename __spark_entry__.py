@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": Q.window_top_orders,
         "rollup_order_volume": Q.rollup_order_volume,
         "cube_order_volume": Q.cube_order_volume,
+        "grouping_sets_order_volume": Q.grouping_sets_order_volume,
         "customers_without_orders": Q.customers_without_orders,
         "supplier_balance_by_nation": Q.supplier_balance_by_nation,
         "events_hourly": Q.events_hourly,

@@ -179,6 +179,25 @@ def cube_order_volume(spark, sf_dir):
                  _dec_sum("o_totalprice").alias("total_price")))
 
 
+def grouping_sets_order_volume(spark, sf_dir):
+    """Explicit GROUPING SETS ((region), (priority)) — the two
+    single-dimension aggregates in one pass (SQL surface)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    return spark.sql("""
+        SELECT r_name, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+    """)
+
+
 def supplier_balance_by_nation(spark, sf_dir):
     """Broadcast dim join + grouped stats over the supplier table."""
     supplier = _t(spark, sf_dir, "supplier")
@@ -638,6 +657,16 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY CUBE(r_name, o_orderpriority)
+    """,
+    "grouping_sets_order_volume": """
+        SELECT r_name, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
     """,
     "supplier_balance_by_nation": """
         SELECT n_name, COUNT(*) AS n_suppliers,
