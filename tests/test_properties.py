@@ -1,0 +1,93 @@
+"""Property-based invariants (hypothesis) for the angle primitives and
+kernels — randomized coverage beyond the reference's fixed edge
+vectors (the reference itself uses none; SURVEY.md §5)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geographiclib_go_spark.kernels import caps as C
+from geographiclib_go_spark.kernels import geomath as gm
+from geographiclib_go_spark.kernels.direct import direct
+from geographiclib_go_spark.kernels.geodesic import GeodesicModel
+from geographiclib_go_spark.kernels.inverse import inverse
+
+finite_deg = st.floats(allow_nan=False, allow_infinity=False,
+                       min_value=-1e8, max_value=1e8)
+lat_deg = st.floats(min_value=-90.0, max_value=90.0)
+lon_deg = st.floats(min_value=-540.0, max_value=540.0)
+
+WGS84 = GeodesicModel(6378137.0, 1 / 298.257223563)
+
+
+@given(finite_deg)
+@settings(max_examples=300, deadline=None)
+def test_ang_normalize_range_and_ieee(x):
+    y = float(gm.ang_normalize(np.array([x]))[0])
+    assert -180.0 <= y < 180.0 or (y == 180.0 and x >= 0)
+    # equals IEEE remainder up to the +-180 sign convention
+    r = math.remainder(x, 360.0)
+    if abs(r) != 180.0:
+        assert y == r
+
+
+@given(finite_deg)
+@settings(max_examples=300, deadline=None)
+def test_sincosd_pythagorean_and_quadrant(x):
+    s, c = gm.sincosd(np.array([x]))
+    s, c = float(s[0]), float(c[0])
+    assert abs(s * s + c * c - 1.0) < 1e-15
+    # exact values at multiples of 90
+    if x == round(x) and round(x) % 90 == 0:
+        assert s in (-1.0, 0.0, 1.0) and c in (-1.0, 0.0, 1.0)
+
+
+@given(finite_deg, finite_deg)
+@settings(max_examples=300, deadline=None)
+def test_ang_diff_is_exact(x, y):
+    d, e = gm.ang_diff(np.array([x]), np.array([y]))
+    d, e = float(d[0]), float(e[0])
+    assert -180.0 <= d <= 180.0
+    assert abs(e) <= 0.5e-9  # error term below half-ulp of degrees span
+
+
+@given(st.floats(min_value=-1e15, max_value=1e15),
+       st.floats(min_value=-1e15, max_value=1e15))
+@settings(max_examples=300, deadline=None)
+def test_sum2_error_free(u, v):
+    s, t = gm.sum2(np.array([u]), np.array([v]))
+    s, t = float(s[0]), float(t[0])
+    assert s == u + v
+    # the residual is exactly the rounding error (Knuth 2Sum property
+    # holds when no overflow): s + t reproduces u + v in higher
+    # precision — check via fractions to avoid float re-rounding
+    from fractions import Fraction
+    assert Fraction(s) + Fraction(t) == Fraction(u) + Fraction(v)
+
+
+@given(lat_deg, lon_deg, finite_deg,
+       st.floats(min_value=1.0, max_value=19_000_000.0))
+@settings(max_examples=100, deadline=None)
+def test_direct_inverse_roundtrip_property(lat1, lon1, azi1, s12):
+    d = direct(WGS84, np.array([lat1]), np.array([lon1]),
+               np.array([azi1]), np.array([s12]), C.STANDARD)
+    inv = inverse(WGS84, np.array([lat1]), np.array([lon1]),
+                  d["lat2"], d["lon2"], C.DISTANCE)
+    # minimality: the inverse may only find an equal-or-shorter path
+    assert float(inv["s12"][0]) <= s12 + 1e-8
+    # inside the uniqueness zone it must recover the distance exactly
+    if s12 < 0.92 * math.pi * WGS84.b * WGS84.b / WGS84.a:
+        assert abs(float(inv["s12"][0]) - s12) < 2e-8
+
+
+@given(lat_deg, lon_deg, lat_deg, lon_deg)
+@settings(max_examples=100, deadline=None)
+def test_inverse_symmetry_property(lat1, lon1, lat2, lon2):
+    """inverse(p1,p2).s12 == inverse(p2,p1).s12 (path symmetry)."""
+    a = inverse(WGS84, np.array([lat1]), np.array([lon1]),
+                np.array([lat2]), np.array([lon2]), C.DISTANCE)
+    b = inverse(WGS84, np.array([lat2]), np.array([lon2]),
+                np.array([lat1]), np.array([lon1]), C.DISTANCE)
+    sa, sb = float(a["s12"][0]), float(b["s12"][0])
+    assert abs(sa - sb) <= 1e-8 * max(1.0, sa)
