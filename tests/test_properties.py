@@ -91,3 +91,21 @@ def test_inverse_symmetry_property(lat1, lon1, lat2, lon2):
                 np.array([lat1]), np.array([lon1]), C.DISTANCE)
     sa, sb = float(a["s12"][0]), float(b["s12"][0])
     assert abs(sa - sb) <= 1e-8 * max(1.0, sa)
+
+
+@given(lat_deg, st.floats(min_value=-180.0, max_value=180.0),
+       st.integers(min_value=1, max_value=14))
+@settings(max_examples=300, deadline=None)
+def test_cell_hierarchy_property(lat, lon, res):
+    """Parent containment: the cell at res-1 is cell@res >> 2, and the
+    cell's center maps back into the same cell (randomized version of
+    the fixed test_cells vectors)."""
+    from geographiclib_go_spark.operators import cells as kcells
+    c = int(kcells.cell_from_latlon(np.array([lat]),
+                                    np.array([lon]), res)[0])
+    p = int(kcells.cell_from_latlon(np.array([lat]),
+                                    np.array([lon]), res - 1)[0])
+    assert c >> 2 == p
+    cla, clo = kcells.cell_center(np.array([c]), res)
+    c2 = int(kcells.cell_from_latlon(cla, clo, res)[0])
+    assert c2 == c
