@@ -189,8 +189,9 @@ def main():
     s8 = samples[lo_n]["pipe"]
     s32 = samples[hi_n]["pipe"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    fname = ("BASELINE.md" if (lo_n, hi_n) == (8, 32)
-             else f"SCALING_{lo_n}_{hi_n}.md")
+    # always a per-level report; BENCH/BASELINE.md stays the curated
+    # summary document and is never clobbered by a rerun
+    fname = f"SCALING_{lo_n}_{hi_n}.md"
     with open(os.path.join(REPO, "BENCH", fname), "w") as fh:
         fh.write(f"""# BENCH scaling — local[{lo_n}] vs local[{hi_n}]
 
