@@ -20,8 +20,9 @@ are unreliable):
 - the reported number per configuration is the MEDIAN over all
   rounds x reps, with min/max spread shown.
 
-Efficiency = (median T_8 / median T_32) / 4, written to
-BENCH/BASELINE.md and stdout as JSON.
+Efficiency = (median T_N / median T_4N) / 4, written to
+BENCH/SCALING_{N}_{4N}.md and stdout as JSON (BENCH/BASELINE.md is
+the curated summary and is never overwritten by reruns).
 """
 
 from __future__ import annotations
