@@ -5,10 +5,13 @@ Five dedup families, each scale-minded:
 - exact_dedup: hash-groupBy on md5(text) — one shuffle, map-side
   partial agg; the survivor choice (min doc_id) is deterministic.
 - minhash LSH: shingle -> k minhashes -> b bands -> band-bucket join.
-  Signatures are computed in one vectorized pandas UDF (numpy 2-D
-  hashing, no per-row Python loops over hash functions); candidate
-  generation is a self-join on (band, band_hash) buckets — the classic
-  shuffle-friendly LSH plan where only colliding buckets pair up.
+  Signatures come from the batch-vectorized polynomial-hash kernels
+  in operators/sketch_hash.py (one code-point stream per Arrow batch,
+  no per-document Python); candidate generation is a self-join on
+  exact (band, band-values) buckets — the classic shuffle-friendly
+  LSH plan where only colliding buckets pair up.  The band key is the
+  exact value tuple (not a rehash), so the DuckDB oracle reproduces
+  the candidate set bit for bit (sketch_hash.minhash_pairs_oracle_sql).
 - simhash: 64-bit sign-sketch of token hashes; near-dups = Hamming
   distance <= h via chunk-band join (pigeonhole: any pair with <= h
   differing bits shares at least one of h+1 chunks).
@@ -27,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from geographiclib_go_spark.sources.images import splitmix64
+from geographiclib_go_spark.operators import sketch_hash as sk
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -48,39 +51,15 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_dups") > 1))
 
 
-def _shingle_hashes(texts: pd.Series, shingle: int) -> list:
-    """Per-document array of 64-bit shingle hashes (character
-    shingles, whitespace-normalized)."""
-    out = []
-    for s in texts:
-        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-        if b.size < shingle:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
-        n = b.size - shingle + 1
-        # polynomial hash of each shingle, vectorized via cumulative trick
-        windows = np.lib.stride_tricks.sliding_window_view(b, shingle)
-        h = np.zeros(n, dtype=np.uint64)
-        for k in range(shingle):
-            h = h * np.uint64(1099511628211) + windows[:, k]
-        out.append(np.unique(h))
-    return out
-
-
 def minhash_signature_udf(num_hashes: int = 64, shingle: int = 5):
-    """array<long> MinHash signature per document.  The k hash
-    functions are splitmix64 streams seeded 0..k-1; the min reduction
-    is a single vectorized 2-D min."""
+    """array<long> MinHash signature per document — one segmented
+    (permute, min-reduceat) pass per hash function over the batch's
+    concatenated shingle-hash stream (sketch_hash.minhash_sigs)."""
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(text: pd.Series) -> pd.Series:
-        seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64))
-        sigs = []
-        for hs in _shingle_hashes(text, shingle):
-            # (k, n_shingles) xor-mix then min over shingles
-            mixed = splitmix64(hs[None, :] ^ seeds[:, None])
-            sigs.append(mixed.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(sigs)
+        sig = sk.minhash_sigs(text.tolist(), num_hashes, shingle)
+        return pd.Series(sig.tolist())
 
     return minhash_sig
 
@@ -98,19 +77,22 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     sig = minhash_signature_udf(num_hashes, shingle)
     s = df.select(F.col(id_col).alias("doc_id"),
                   sig(F.col(text_col)).alias("_sig"))
-    # band hash = xxhash of the band's slice
+    # band key = the exact value tuple of the band's slice (a struct
+    # equi-join key): no rehash, so the candidate set is reproducible
+    # in the SQL oracle and hash collisions cannot inject pairs
     bands_df = s.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("_sig")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)])
-                     .alias("band_hash"))
+                     F.struct(*[F.col("_sig")[b * rows_per_band + r]
+                                .alias(f"v{r}")
+                                for r in range(rows_per_band)])
+                     .alias("band_key"))
             for b in range(bands)])).alias("bb"))
-    bands_df = bands_df.select("doc_id", "bb.band", "bb.band_hash")
+    bands_df = bands_df.select("doc_id", "bb.band", "bb.band_key")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
-    pairs = (a.join(b, ["band", "band_hash"])
+    pairs = (a.join(b, ["band", "band_key"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("id_a"),
                      F.col("b.doc_id").alias("id_b"))
@@ -119,18 +101,14 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard_udf(shingle: int = 5):
-    """Exact shingle-set Jaccard for candidate pair verification."""
+    """Exact shingle-set Jaccard for candidate pair verification
+    (62-bit wide shingle hashes -> collision odds ~2^-62, so the
+    value equals the true character-shingle-set Jaccard)."""
 
     @pandas_udf(T.DoubleType())
     def jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
-        ha = _shingle_hashes(text_a, shingle)
-        hb = _shingle_hashes(text_b, shingle)
-        out = np.zeros(len(ha))
-        for i, (x, y) in enumerate(zip(ha, hb)):
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            union = x.size + y.size - inter
-            out[i] = inter / union if union else 0.0
-        return pd.Series(out)
+        return pd.Series(
+            sk.jaccard_pairs(text_a.tolist(), text_b.tolist(), shingle))
 
     return jaccard
 
@@ -157,37 +135,16 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
 
 
 def simhash_udf(bits: int = 64):
-    """64-bit SimHash over whitespace tokens (weight 1 each)."""
+    """64-bit SimHash over whitespace tokens (weight = multiplicity),
+    batch-vectorized on the code-point stream
+    (sketch_hash.simhash_batch: tokenize once, then per-bit modular
+    mixers + segmented vote sums — no per-document Python)."""
 
     @pandas_udf(T.LongType())
     def simhash(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, s in enumerate(text):
-            toks = s.split()
-            if not toks:
-                out[i] = 0
-                continue
-            hs = splitmix64(np.array(
-                [hash_token(t) for t in toks], dtype=np.uint64))
-            bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64))
-                      & np.uint64(1)).astype(np.int64)
-            votes = (2 * bitmat - 1).sum(axis=0)
-            v = np.uint64(0)
-            for bpos in range(bits - 1, -1, -1):
-                v = (v << np.uint64(1)) | np.uint64(votes[bpos] > 0)
-            out[i] = np.int64(v.astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(sk.simhash_batch(text.tolist(), bits))
 
     return simhash
-
-
-def hash_token(t: str) -> int:
-    """Deterministic 64-bit FNV-1a of a token (Python's hash() is
-    salted per-process — unusable across executors)."""
-    h = 0xCBF29CE484222325
-    for ch in t.encode("utf-8", "ignore"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
@@ -218,7 +175,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                      F.col("a.simhash").alias("sh_a"),
                      F.col("b.simhash").alias("sh_b"))
              .distinct())
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

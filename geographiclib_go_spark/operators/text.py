@@ -90,43 +90,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", score)
 
 
-FP_MOD = (1 << 61) - 1
-FP_BASE = 257
-
-
 def fingerprint_udf(window: int = 16):
     """Rolling polynomial document fingerprint (Rabin-Karp style):
-    min of rolling hashes over `window`-byte windows — a deterministic
-    64-bit document sketch for fuzzy dedup.  Vectorized with numpy
-    (object-dtype-free; arbitrary precision avoided via mod 2^61-1)."""
+    min of the 62-bit wide polynomial hash over `window`-char windows
+    — a deterministic document sketch for fuzzy dedup.  Batch-
+    vectorized on the concatenated code-point stream
+    (sketch_hash.fingerprint_batch — no per-document or per-byte
+    Python), and SQL-mirrorable so the DuckDB oracle recomputes every
+    fingerprint (sketch_hash.fingerprint_oracle_sql)."""
 
     @pandas_udf(T.LongType())
     def doc_fingerprint(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, s in enumerate(text):
-            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-            if b.size == 0:
-                out[i] = 0
-                continue
-            if b.size < window:
-                h = 0
-                for ch in b.tolist():
-                    h = (h * FP_BASE + int(ch)) % FP_MOD
-                out[i] = h
-                continue
-            # rolling hash over all windows, vectorized per document
-            powers = pow(FP_BASE, window - 1, FP_MOD)
-            h = 0
-            mins = None
-            vals = np.empty(b.size - window + 1, dtype=np.uint64)
-            for k in range(window):
-                h = (h * FP_BASE + int(b[k])) % FP_MOD
-            vals[0] = h
-            for k in range(window, b.size):
-                h = ((h - int(b[k - window]) * powers) * FP_BASE
-                     + int(b[k])) % FP_MOD
-                vals[k - window + 1] = h
-            out[i] = np.int64(vals.min())
-        return pd.Series(out)
+        from geographiclib_go_spark.operators import sketch_hash as sk
+        return pd.Series(sk.fingerprint_batch(text.tolist(), window))
 
     return doc_fingerprint

@@ -65,6 +65,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but if the parquet arrives in fewer partitions than
+    the cluster has slots (the small bench files are one row-group),
+    round-robin it out so map-side kernels use every core.  At real
+    scale input partitions >> slots and this is a no-op — no shuffle
+    is added to the 100 TB plan."""
+    df = _t(spark, sf_dir, name)
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        df = df.repartition(slots)
+    return df
+
+
 def _customer_points(spark, sf_dir) -> DataFrame:
     return (_t(spark, sf_dir, "customer")
             .select("c_custkey",
@@ -506,10 +519,13 @@ def doc_quality_buckets(spark, sf_dir):
 
 
 def doc_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs, Jaccard-verified (no SQL oracle —
-    LSH banding is not SQL-expressible; exactness is anchored by
-    tests/test_dedup.py brute-force comparison)."""
-    docs = _t(spark, sf_dir, "documents")
+    """MinHash-LSH near-dup pairs, Jaccard-verified.  SQL-oracled:
+    the sketch hashes are explicit polynomial arithmetic
+    (operators/sketch_hash.py) and the band key is the exact value
+    tuple, so DuckDB recomputes signatures, band collisions, and the
+    exact-Jaccard refine bit for bit
+    (sketch_hash.minhash_pairs_oracle_sql)."""
+    docs = _t_spread(spark, sf_dir, "documents")
     # 8 bands x 8 rows -> LSH collision threshold ~ (1/8)^(1/8) = 0.77;
     # the synthetic corpus draws from a tiny vocabulary, so random docs
     # share ~half their shingles — a 0.5 banding would candidate-pair
@@ -519,18 +535,22 @@ def doc_minhash_pairs(spark, sf_dir):
 
 
 def doc_simhash_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    """SimHash near-dup pairs (chunk-band join + exact popcount).
+    SQL-oracled: per-bit token votes, chunk values, candidates, and
+    the Hamming filter are recomputed in DuckDB
+    (sketch_hash.simhash_pairs_oracle_sql)."""
+    docs = _t_spread(spark, sf_dir, "documents")
     return ded.simhash_near_dups(docs, max_hamming=8).orderBy(
         "id_a", "id_b")
 
 
 def doc_fingerprints(spark, sf_dir):
+    """Per-document rolling min-hash fingerprint, every value
+    SQL-verified (sketch_hash.fingerprint_oracle_sql)."""
     docs = _t(spark, sf_dir, "documents")
     fp = tx.fingerprint_udf()
     return (docs.select("doc_id", fp(F.col("text")).alias("fingerprint"))
-            .groupBy().agg(F.count("*").alias("n"),
-                           F.countDistinct("fingerprint")
-                           .alias("n_distinct_fp")))
+            .orderBy("doc_id"))
 
 
 # --------------------------------------------------------------------------
@@ -1044,3 +1064,13 @@ ORACLE_SQL = {
 
 ORACLE_SQL["sphere_polygon_area_dist"] = \
     ORACLE_SQL["sphere_polygon_area"]
+
+# text-sketch oracles: identical polynomial-hash arithmetic emitted as
+# SQL with the permutation constants inlined (operators/sketch_hash.py)
+from geographiclib_go_spark.operators import sketch_hash as _sk  # noqa: E402
+
+ORACLE_SQL["doc_minhash_pairs"] = _sk.minhash_pairs_oracle_sql(
+    num_hashes=64, bands=8, shingle=5, threshold=0.8)
+ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
+    max_hamming=8)
+ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
