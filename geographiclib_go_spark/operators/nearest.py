@@ -189,6 +189,11 @@ def knn_points_topk(points: DataFrame, queries, k: int,
     if not qrows or len(qrows) > MAX_DIM_ROWS:
         raise ValueError(f"query side must have 1..{MAX_DIM_ROWS} rows")
     qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    if np.unique(qids).size != qids.size:
+        raise ValueError(
+            f"{id_col} must be unique for the scan-topk strategy "
+            "(the global window merges duplicate ids into one top-k); "
+            "dedupe the query side or use the cover/ring strategy")
     qlat = np.array([float(r[1]) for r in qrows])
     qlon = np.array([float(r[2]) for r in qrows])
     qvec = _unit_vectors(qlat, qlon)
@@ -276,6 +281,11 @@ def radius_dim_join(points: DataFrame, queries, radius_m: float,
     if not qrows or len(qrows) > MAX_DIM_ROWS:
         raise ValueError(f"query side must have 1..{MAX_DIM_ROWS} rows")
     qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    if np.unique(qids).size != qids.size:
+        raise ValueError(
+            f"{id_col} must be unique for the scan strategy (the "
+            "re-join on the id would multiply candidate rows); dedupe "
+            "the query side or use the cover strategy")
     qlat = np.array([float(r[1]) for r in qrows])
     qlon = np.array([float(r[2]) for r in qrows])
     qvec = _unit_vectors(qlat, qlon)

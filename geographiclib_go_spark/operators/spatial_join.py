@@ -119,14 +119,19 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
 
     Output: query columns (prefixed q_), point columns, s12.
 
-    Strategies: "scan" (auto when the query side is small) — map-only
-    chord-bound prefilter + exact refine inside the points scan, no
-    shuffle of the big side (operators/nearest.radius_dim_join);
-    "cover" — cell-cap cover explode + equi-join + refine, for query
-    sides too large to ship in a closure.
+    Strategies: "scan" (auto when the query side is small, has an
+    id_col, and its ids are distinct) — map-only chord-bound prefilter
+    + exact refine inside the points scan, no shuffle of the big side
+    (operators/nearest.radius_dim_join); note `res` and
+    `broadcast_queries` do not apply under "scan" (there is no cover
+    and no join to hint).  "cover" — cell-cap cover explode +
+    equi-join + refine, for query sides too large to ship in a
+    closure (and the fallback when ids are absent or duplicated,
+    since it preserves per-row query identity).
     """
     if strategy == "auto":
-        strategy = ("scan" if _estimate_small(queries, limit_rows=4096)
+        strategy = ("scan"
+                    if _scan_eligible(queries, id_col, limit_rows=4096)
                     else "cover")
     if strategy == "scan":
         from geographiclib_go_spark.operators import nearest as _nn
@@ -180,6 +185,23 @@ def _estimate_small(df: DataFrame, limit_rows: int = 200_000) -> bool:
         return False
 
 
+def _scan_eligible(queries: DataFrame, id_col: str,
+                   limit_rows: int = 4096) -> bool:
+    """The closure-scan strategies key per-query state on id_col, so
+    they require it present AND distinct (duplicate ids would merge
+    top-k sets / multiply radius matches); the cover/ring plans
+    preserve per-row identity and take over otherwise."""
+    if id_col not in queries.columns:
+        return False
+    if not _estimate_small(queries, limit_rows=limit_rows):
+        return False
+    try:
+        return (queries.select(id_col).distinct().count()
+                == queries.count())
+    except Exception:
+        return False
+
+
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              res: int = None, a: float = WGS84_A, f: float = WGS84_F,
              point_cols=("lat", "lon"), query_cols=("lat", "lon"),
@@ -197,11 +219,13 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     - "ring": iterative cell-ring expansion; resolved queries drop
       out each round; termination bound is cells.ring_bound_m
       (conservative vs the kernel, see tests/test_cells.py).  Used
-      when the query side is too large to ship in a closure.
+      when the query side is too large to ship in a closure, or when
+      query ids are missing/duplicated (the ring plan keys no state
+      on them).
     """
     if strategy == "auto":
         strategy = ("scan_topk"
-                    if _estimate_small(queries, limit_rows=4096)
+                    if _scan_eligible(queries, id_col, limit_rows=4096)
                     else "ring")
     if strategy == "scan_topk":
         from geographiclib_go_spark.operators import nearest as _nn
@@ -209,6 +233,17 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
                                    point_cols=point_cols,
                                    query_cols=query_cols,
                                    id_col=id_col)
+    # kNN output is keyed on id_col in every strategy (the per-query
+    # top-k window partitions on it), so uniqueness is a semantic
+    # requirement, not a physical one — validate with a single agg
+    row = queries.agg(
+        F.count(F.col(id_col)).alias("_n"),
+        F.countDistinct(F.col(id_col)).alias("_d")).collect()[0]
+    if row["_n"] != row["_d"]:
+        raise ValueError(
+            f"{id_col} must be unique in the kNN query side "
+            f"({row['_n']} rows, {row['_d']} distinct ids): duplicate "
+            "ids would merge distinct queries into one top-k set")
     g = GeodesicModel(a, f)
     n_pts = points.count()
     if res is None:
@@ -228,26 +263,28 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     qid = f"q_{id_col}"
     qlat, qlon = f"q_{query_cols[0]}", f"q_{query_cols[1]}"
 
+    # caching the celled points avoids re-running the cell UDF each
+    # round in the sandbox; at cluster scale prefer persisting the
+    # celled table (or bucketing it by _cell) once and reusing it
     pts = with_cell(points, res, *point_cols, out="_cell").cache()
     inv = make_inverse_s12_udf(a, f)
 
-    # queries are the small side by design: track resolution driver-side
-    # (one collect of per-query stats per round) so each round is a
-    # single Spark action instead of a chain of anti-joins.
-    q = q.cache()
-    unresolved_ids = None  # None = all
+    # the query side is LARGE here (the small side routes to
+    # scan_topk), so per-query state never touches the driver: the
+    # resolved set is a DataFrame, rounds advance via semi/anti joins,
+    # and the only driver-side values are one boolean per round
+    # ("anything left?").  No id list ever ships in a plan or closure.
+    unresolved = q.cache()
     results = []
     rings = start_rings  # ring_bound(rings=1) is 0: start past it
     for round_no in range(max_rounds):
-        if unresolved_ids is not None and not unresolved_ids:
-            break
-        uq = q if unresolved_ids is None else q.filter(
-            F.col(qid).isin(list(unresolved_ids)))
-        cover = uq.withColumn(
+        cover = unresolved.withColumn(
             "_qcover", ring_cover_udf(res, rings)(F.col(qlat), F.col(qlon)))
         cover = cover.withColumn("_cell", F.explode("_qcover")) \
                      .drop("_qcover")
-        cand = pts.join(F.broadcast(cover), "_cell", "inner")
+        # both sides are big: plain equi-join on the cell key (AQE
+        # picks shuffle-hash vs sort-merge and splits skewed cells)
+        cand = pts.join(cover, "_cell", "inner")
         cand = cand.withColumn(
             "s12", inv(F.col(qlat), F.col(qlon),
                        F.col(point_cols[0]), F.col(point_cols[1])))
@@ -256,23 +293,23 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
                 .filter(F.col("rank") <= k).drop("_cell")).cache()
 
         bound = kcells.ring_bound_m(res, rings, g.b)
-        stats = topk.groupBy(qid).agg(
-            F.count("*").alias("_n"), F.max("s12").alias("_kth")).collect()
-        done = {r[0] for r in stats if r[1] >= k and r[2] <= bound}
-        if unresolved_ids is None:
-            all_ids = {r[0] for r in uq.select(qid).collect()}
-        else:
-            all_ids = set(unresolved_ids)
-        if done:
-            results.append(topk.filter(F.col(qid).isin(list(done))))
-        unresolved_ids = all_ids - done
+        done_ids = (topk.groupBy(qid)
+                    .agg(F.count("*").alias("_n"),
+                         F.max("s12").alias("_kth"))
+                    .filter((F.col("_n") >= k) & (F.col("_kth") <= bound))
+                    .select(qid).cache())
+        results.append(topk.join(done_ids, qid, "left_semi"))
+        unresolved = unresolved.join(done_ids, qid, "left_anti").cache()
         rings *= 2
+        if unresolved.isEmpty():
+            unresolved = None
+            break
 
-    if unresolved_ids is None or unresolved_ids:
-        # brute-force fallback for the stragglers (poles, empty regions)
-        uq = q if unresolved_ids is None else q.filter(
-            F.col(qid).isin(list(unresolved_ids)))
-        cand = uq.crossJoin(points)
+    if unresolved is not None:
+        # brute-force fallback for the stragglers (poles, empty
+        # regions) — bounded: only queries max_rounds of doubling
+        # couldn't resolve
+        cand = unresolved.crossJoin(points)
         cand = cand.withColumn(
             "s12", inv(F.col(qlat), F.col(qlon),
                        F.col(point_cols[0]), F.col(point_cols[1])))

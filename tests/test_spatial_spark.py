@@ -264,3 +264,82 @@ def test_pip_autoplan_matches_explicit(spark, points_df):
     sa = set(zip(a.poly_id, a.pid))
     sb = set(zip(b.poly_id, b.pid))
     assert sa == sb and len(sa) > 0
+
+
+def test_knn_ring_large_query_side(spark):
+    """Ring expansion with a query side far above the scan cutoff
+    (50k rows): the driver must never hold per-query state (resolved
+    ids live in DataFrames, VERDICT r1 item 2) and results must match
+    the closed-form sphere oracle."""
+    R = 6371000.0
+    n_pts, n_q, k = 1500, 50_000, 3
+    rng = np.random.default_rng(11)
+    ppdf = pd.DataFrame({
+        "pid": np.arange(n_pts),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n_pts))),
+        "lon": rng.uniform(-180, 180, n_pts)})
+    qpdf = pd.DataFrame({
+        "qid": np.arange(n_q),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n_q))),
+        "lon": rng.uniform(-180, 180, n_q)})
+    pts = spark.createDataFrame(ppdf).repartition(8)
+    qdf = spark.createDataFrame(qpdf).repartition(8)
+    got = sj.knn_join(pts, qdf, k=k, a=R, f=0.0,
+                      strategy="auto").select(
+        "q_qid", "pid", "s12").toPandas()
+    assert len(got) == n_q * k
+    # closed-form great-circle oracle, chunked matmul
+    def unit(lat, lon):
+        la, lo = np.radians(lat), np.radians(lon)
+        cl = np.cos(la)
+        return np.stack([cl * np.cos(lo), cl * np.sin(lo),
+                         np.sin(la)], axis=-1)
+    pv = unit(ppdf.lat.to_numpy(), ppdf.lon.to_numpy())
+    got = got.sort_values(["q_qid", "s12"])
+    got_d = got.s12.to_numpy().reshape(n_q, k)
+    want_d = np.empty((n_q, k))
+    for lo_i in range(0, n_q, 10_000):
+        sl = slice(lo_i, lo_i + 10_000)
+        qv = unit(qpdf.lat.to_numpy()[sl], qpdf.lon.to_numpy()[sl])
+        ang = np.arccos(np.clip(qv @ pv.T, -1, 1))
+        want_d[sl] = np.sort(ang, axis=1)[:, :k] * R
+    assert np.allclose(got_d, want_d, rtol=0, atol=1e-5)
+
+
+def test_knn_rejects_duplicate_query_ids(spark, points_df, queries_pdf):
+    """kNN output is keyed on qid, so duplicate ids are a semantic
+    error in every strategy (ADVICE r1)."""
+    qdup = pd.concat([queries_pdf.head(6)] * 2, ignore_index=True)
+    qdf = spark.createDataFrame(qdup)
+    with pytest.raises(ValueError, match="unique"):
+        sj.knn_join(points_df, qdf, k=2, res=4, strategy="ring")
+    with pytest.raises(ValueError, match="unique"):
+        sj.knn_join(points_df, qdf, k=2, strategy="scan_topk")
+
+
+def test_distance_join_duplicate_ids_fall_back_to_cover(
+        spark, points_df, queries_pdf):
+    """distance_join auto must not route duplicate-id query sides to
+    the scan path (which re-joins on qid); the cover path preserves
+    per-row identity, so each duplicated row yields its own pairs."""
+    radius = 900e3
+    single = spark.createDataFrame(queries_pdf)
+    doubled = spark.createDataFrame(
+        pd.concat([queries_pdf] * 2, ignore_index=True))
+    a = sj.distance_join(points_df, single, radius).select(
+        "q_qid", "pid").toPandas()
+    b = sj.distance_join(points_df, doubled, radius).select(
+        "q_qid", "pid").toPandas()
+    assert len(b) == 2 * len(a) > 0
+    # and auto without an id column routes to cover instead of failing
+    no_id = single.drop("qid")
+    c = sj.distance_join(points_df, no_id, radius).select(
+        "q_lat", "pid").toPandas()
+    assert len(c) == len(a)
+
+
+def test_radius_scan_rejects_duplicate_ids(spark, points_df, queries_pdf):
+    qdup = pd.concat([queries_pdf.head(6)] * 2, ignore_index=True)
+    with pytest.raises(ValueError, match="unique"):
+        sj.distance_join(points_df, spark.createDataFrame(qdup), 500e3,
+                         strategy="scan")
