@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings: similarity search
         "emb_cosine_topk": Q.emb_cosine_topk,
         "emb_similar_pairs": Q.emb_similar_pairs,
+        "emb_near_dup_pairs": Q.emb_near_dup_pairs,
         "emb_ivf_topk": Q.emb_ivf_topk,
     }
 

@@ -58,11 +58,20 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
 
 def train_centroids(corpus: DataFrame, n_centroids: int,
                     vec_col: str = "embedding", sample: int = 20000,
-                    iters: int = 8, seed: int = 42) -> np.ndarray:
+                    iters: int = 8, seed: int = 42,
+                    id_col: str = "vec_id") -> np.ndarray:
     """Deterministic k-means on a driver-side sample (normalized
     vectors, cosine ~ dot).  The centroid table is tiny and broadcast
-    into the assignment UDF."""
-    pdf = (corpus.select(vec_col).limit(sample).toPandas())
+    into the assignment UDF.
+
+    The sample is the top `sample` rows by xxhash64(id) — a
+    deterministic pseudo-random draw that survives repartitioning
+    (plain limit() is partition-order-dependent and made IVF output
+    drift between runs, VERDICT r1 item 3) and runs as a distributed
+    partial top-k, no global sort."""
+    pdf = (corpus.select(F.col(vec_col).alias(vec_col),
+                         F.xxhash64(F.col(id_col)).alias("_h"))
+           .orderBy("_h").limit(sample).toPandas())
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -112,7 +121,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     assignment is reusable (write it once, bucket the table by
     cluster) — at 10^12 rows this is the only viable shape."""
     if centroids is None:
-        centroids = train_centroids(corpus, n_centroids, vec_col)
+        centroids = train_centroids(corpus, n_centroids, vec_col,
+                                    id_col=id_col)
     c_assign = assign_cluster_udf(centroids, top=1)
     q_assign = assign_cluster_udf(centroids, top=nprobe)
     c = corpus.select(F.col(id_col).alias("vec_id"),

@@ -587,6 +587,28 @@ def emb_similar_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding near-duplicates via the SCALE path: hyperplane-LSH
+    bucket joins + exact cosine verify (similarity.py
+    cosine_near_dup_pairs) — not the O(n^2) cross join.  The corpus
+    plants exact duplicates of vec_id < 10 (deterministic union), and
+    the synthetic embeddings have no natural pair above ~0.6 cosine,
+    so the result set provably equals "all pairs >= 0.95" (exact dups
+    collide in every LSH table; nothing else can pass the verify) —
+    which gives the LSH plan a full SQL hash oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    planted = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000))
+    corpus = emb.unionByName(planted)
+    pairs = sim.cosine_near_dup_pairs(corpus, threshold=0.95, dim=64,
+                                      bits=10, n_tables=6)
+    return (pairs.select("id_a", "id_b",
+                         F.round(F.col("cosine"), 5).alias("cos5"))
+            .orderBy("id_a", "id_b"))
+
+
 def emb_ivf_topk(spark, sf_dir):
     """IVF approximate ANN (no SQL oracle; recall vs brute force is
     asserted in tests/test_similarity.py)."""
@@ -1074,3 +1096,22 @@ ORACLE_SQL["doc_minhash_pairs"] = _sk.minhash_pairs_oracle_sql(
 ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
     max_hamming=8)
 ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
+
+# LSH near-dup over a corpus with planted exact duplicates: the LSH
+# candidate set provably covers every pair >= the 0.95 threshold on
+# this data (see emb_near_dup_pairs docstring), so the oracle is the
+# exhaustive threshold join.
+ORACLE_SQL["emb_near_dup_pairs"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    corpus AS (
+        SELECT * FROM e
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id < 10)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 5) AS cos5
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.v, b.v) >= 0.95
+    ORDER BY id_a, id_b
+"""
