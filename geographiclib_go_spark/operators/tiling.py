@@ -56,14 +56,28 @@ def detect_hot_keys(df: DataFrame, key: str,
 
 def salt_hot_keys(df: DataFrame, key: str, hot_keys: list,
                   salt_factor: int = 16,
-                  out: str = "salted_key") -> DataFrame:
-    """Append a random salt to hot keys so downstream repartition /
-    aggregation spreads them.  Aggregations must partial-agg on the
-    salted key then final-agg on the true key."""
+                  out: str = "salted_key",
+                  row_cols: list = None) -> DataFrame:
+    """Append a deterministic salt to hot keys so downstream
+    repartition / aggregation spreads them.  Aggregations must
+    partial-agg on the salted key then final-agg on the true key.
+
+    The salt is never random (F.rand salts are partition-placement-
+    dependent, so retried tasks would emit different rows — poison
+    for resumable lineage): with `row_cols` it is
+    pmod(xxhash64(row_cols), salt_factor) — a pure function of row
+    content, stable under retries AND repartitioning; without it,
+    pmod(xxhash64(monotonically_increasing_id()), salt_factor) —
+    stable under task retry (same partition content -> same ids),
+    which also spreads fully identical rows."""
     if not hot_keys:
         return df.withColumn(out, F.col(key).cast("string"))
     hot = F.col(key).isin(hot_keys)
-    salt = (F.rand(seed=42) * salt_factor).cast("int")
+    if row_cols:
+        basis = F.xxhash64(*[F.col(c) for c in row_cols])
+    else:
+        basis = F.xxhash64(F.monotonically_increasing_id())
+    salt = F.pmod(basis, F.lit(salt_factor)).cast("int")
     return df.withColumn(
         out,
         F.when(hot, F.concat_ws("#", F.col(key).cast("string"),

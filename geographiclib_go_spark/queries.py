@@ -362,6 +362,38 @@ def tile_counts(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+# raster_coverage fixtures: anchor centers (the 12 landmarks + a
+# dateline probe) and axis-aligned box polygons placed to yield
+# partial coverage at three anchors (including across the dateline)
+_RASTER_CENTERS = LANDMARKS + [(100, 0.0, 179.95)]
+_RASTER_POLYS = {
+    1: ((8.0, 8.0, -1.5, -1.5), (179.0, -176.0, -176.0, 179.0)),
+    2: ((53.0, 53.0, 50.0, 50.0), (-2.5, 1.5, 1.5, -2.5)),
+    3: ((42.0, 42.0, 40.0, 40.0), (-75.0, -73.0, -73.0, -75.0)),
+}
+_RASTER_HALF_M = 300e3
+_RASTER_PX = 16
+
+
+def raster_coverage(spark, sf_dir):
+    """Raster->vector assignment (north rule): 16x16 gnomonic-plane
+    raster patches around anchor points, pixel centers un-projected
+    and PIP-tested against box polygons, per-(anchor, polygon)
+    coverage fractions.  On the sphere the gnomonic reverse is
+    closed-form and box PIP is a range test, so every pixel count is
+    verified by the SQL oracle."""
+    from geographiclib_go_spark.operators import raster as rast
+    centers = spark.createDataFrame(
+        [(int(t), float(la), float(lo)) for t, la, lo in _RASTER_CENTERS],
+        "tile_id long, clat double, clon double")
+    out = rast.rasterize_patches(centers, _RASTER_POLYS,
+                                 half_m=_RASTER_HALF_M, px=_RASTER_PX,
+                                 a=SPHERE_A, f=0.0)
+    return (out.select("tile_id", "poly_id", "covered_px", "total_px",
+                       F.round(F.col("coverage"), 6).alias("coverage_r"))
+            .orderBy("tile_id", "poly_id"))
+
+
 def ellip_nearest_landmark(spark, sf_dir):
     """WGS84 ellipsoidal kNN (k=1) — the true geodesic, no SQL oracle
     (kernel conformance is gated by the pytest GeodTest suites)."""
@@ -1096,6 +1128,56 @@ ORACLE_SQL["doc_minhash_pairs"] = _sk.minhash_pairs_oracle_sql(
 ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
     max_hamming=8)
 ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
+
+# raster_coverage: closed-form spherical gnomonic un-projection +
+# box-range PIP (points_in_ring interpolates edges linearly in
+# (lat, reduced-lon), so for axis-aligned boxes it IS the range test)
+_RASTER_CENTER_SQL = ", ".join(
+    f"({t}, {la}, {lo})" for t, la, lo in _RASTER_CENTERS)
+_RPX = _RASTER_PX
+ORACLE_SQL["raster_coverage"] = f"""
+    WITH centers(tile_id, clat, clon) AS (VALUES {_RASTER_CENTER_SQL}),
+    pxs AS (SELECT v AS p FROM range(0, {_RPX * _RPX}) t(v)),
+    g AS (SELECT tile_id, clat, clon,
+            ((p % {_RPX}) + 0.5) / {_RPX}.0
+              * {2 * _RASTER_HALF_M} - {_RASTER_HALF_M} AS x,
+            ((p // {_RPX}) + 0.5) / {_RPX}.0
+              * {2 * _RASTER_HALF_M} - {_RASTER_HALF_M} AS y
+          FROM centers, pxs),
+    g2 AS (SELECT tile_id, clat, clon, x, y,
+             SQRT(x*x + y*y) AS rho,
+             ATAN2(SQRT(x*x + y*y), {SPHERE_A}) AS c
+           FROM g),
+    r AS (SELECT tile_id,
+            DEGREES(ASIN(COS(c) * SIN(RADIANS(clat))
+              + y * SIN(c) * COS(RADIANS(clat)) / rho)) AS lat,
+            DEGREES(RADIANS(clon) + ATAN2(x * SIN(c),
+              rho * COS(RADIANS(clat)) * COS(c)
+              - y * SIN(RADIANS(clat)) * SIN(c))) AS lon0
+          FROM g2),
+    m AS (SELECT tile_id, lat,
+            CASE WHEN lon0 >= 180 THEN lon0 - 360
+                 WHEN lon0 < -180 THEN lon0 + 360
+                 ELSE lon0 END AS lon
+          FROM r),
+    cov AS (
+      SELECT tile_id, 1 AS poly_id, COUNT(*) AS covered_px FROM m
+      WHERE lat > -1.5 AND lat < 8.0 AND (lon > 179.0 OR lon < -176.0)
+      GROUP BY tile_id
+      UNION ALL
+      SELECT tile_id, 2, COUNT(*) FROM m
+      WHERE lat > 50.0 AND lat < 53.0 AND lon > -2.5 AND lon < 1.5
+      GROUP BY tile_id
+      UNION ALL
+      SELECT tile_id, 3, COUNT(*) FROM m
+      WHERE lat > 40.0 AND lat < 42.0 AND lon > -75.0 AND lon < -73.0
+      GROUP BY tile_id)
+    SELECT tile_id, poly_id, CAST(covered_px AS BIGINT) AS covered_px,
+           CAST({_RPX * _RPX} AS BIGINT) AS total_px,
+           ROUND(covered_px / {_RPX * _RPX}.0, 6) AS coverage_r
+    FROM cov WHERE covered_px > 0
+    ORDER BY tile_id, poly_id
+"""
 
 # LSH near-dup over a corpus with planted exact duplicates: the LSH
 # candidate set provably covers every pair >= the 0.95 threshold on

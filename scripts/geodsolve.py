@@ -28,6 +28,12 @@ from geographiclib_go_spark.kernels.geodesic import (  # noqa: E402
 def _geod(vals):
     if len(vals) >= 2:
         return Geodesic(vals[0], vals[1])
+    if len(vals) == 1:
+        # a lone trailing value is ambiguous (a without f?) — refuse
+        # rather than silently computing on WGS84
+        raise SystemExit(
+            "ellipsoid override needs BOTH a and f (got one value); "
+            "omit both for WGS84")
     return Geodesic(WGS84_A, WGS84_F)
 
 

@@ -176,6 +176,27 @@ def test_salting_spreads_hot_keys(spark):
     # non-hot keys unchanged
     assert (salted.filter(F.col("k") == 5)
             .select("salted_key").distinct().count()) == 1
+    # the salt is deterministic: rerunning the stage yields the
+    # identical salted-key histogram (retry-idempotent lineage)
+    def hist(sdf):
+        return sorted(map(tuple, sdf.groupBy("salted_key").count()
+                          .collect()))
+    assert hist(salted) == hist(
+        tiling.salt_hot_keys(df, "k", hot, salt_factor=8))
+    # content-keyed variant spreads distinct rows and is stable
+    # under repartitioning too
+    pdf2 = pd.DataFrame({"k": [1] * 5000 + list(range(2, 1000)),
+                         "v": np.arange(5998, dtype=float)})
+    df2 = spark.createDataFrame(pdf2)
+    s2 = tiling.salt_hot_keys(df2, "k", hot, salt_factor=8,
+                              row_cols=["k", "v"])
+    assert (s2.filter(F.col("k") == 1)
+            .select("salted_key").distinct().count()) == 8
+    s2r = tiling.salt_hot_keys(df2.repartition(7), "k", hot,
+                               salt_factor=8, row_cols=["k", "v"])
+    a = sorted(map(tuple, s2.select("v", "salted_key").collect()))
+    b = sorted(map(tuple, s2r.select("v", "salted_key").collect()))
+    assert a == b
 
 
 def test_images_source_invariants(spark):
