@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -48,8 +50,19 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # warm the JVM/Python workers so timings measure the engine
+    # warm the JVM AND the Python/Arrow workers so timings measure the
+    # engine, not one-time worker spawn + module imports (the first
+    # pandas UDF otherwise pays ~5 s inside whichever query runs it)
     spark.range(1000).select(F.sum("id")).collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        from geographiclib_go_spark.kernels import inverse as _ki  # noqa
+        return x * 1.0
+
+    spark.range(0, 3200, 1, 32).select(
+        F.sum(_warm(F.col("id").cast("double")))).collect()
 
     headline = [
         "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_volume",
@@ -57,8 +70,9 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "sphere_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
         "ellip_nearest_landmark", "sphere_nearest_landmark",
-        "sphere_polygon_area", "tile_counts",
-        "doc_token_stats", "doc_minhash_pairs", "emb_cosine_topk",
+        "sphere_polygon_area", "tile_counts", "raster_coverage",
+        "doc_token_stats", "doc_minhash_pairs", "doc_simhash_pairs",
+        "emb_cosine_topk", "emb_near_dup_pairs",
     ]
     for name in headline:
         fn = getattr(Q, name)
@@ -90,7 +104,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 18 queries)",
+                  "pipeline + 21 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

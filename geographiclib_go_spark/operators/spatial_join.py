@@ -190,14 +190,17 @@ def _scan_eligible(queries: DataFrame, id_col: str,
     """The closure-scan strategies key per-query state on id_col, so
     they require it present AND distinct (duplicate ids would merge
     top-k sets / multiply radius matches); the cover/ring plans
-    preserve per-row identity and take over otherwise."""
+    preserve per-row identity and take over otherwise.  One Spark job:
+    count + countDistinct over a limit(limit_rows+1) slice (if the
+    slice overflows the limit the side is big and the answer is False
+    regardless of which rows the limit picked)."""
     if id_col not in queries.columns:
         return False
-    if not _estimate_small(queries, limit_rows=limit_rows):
-        return False
     try:
-        return (queries.select(id_col).distinct().count()
-                == queries.count())
+        row = (queries.select(id_col).limit(limit_rows + 1)
+               .agg(F.count("*").alias("_n"),
+                    F.countDistinct(id_col).alias("_d")).collect()[0])
+        return row["_n"] <= limit_rows and row["_n"] == row["_d"]
     except Exception:
         return False
 

@@ -165,3 +165,34 @@ def test_knn_points_topk_fat_ellipsoid(spark):
         want = np.sort(exp[exp.qid == qid].d.to_numpy())
         have = np.sort(gp[gp.q_qid == qid].s12.to_numpy())
         np.testing.assert_array_equal(have, want)
+
+
+def test_ellip_nearest_landmark_query_matches_pure_numpy(spark):
+    """The driver records only a rows-only check for
+    ellip_nearest_landmark (no SQL oracle for WGS84 geodesics); this
+    pins the full query output against an independent pure-numpy
+    evaluation of the same kernel — exact equality after the query's
+    own rounding, so the result is hash-stable run to run
+    (VERDICT r1 item 8)."""
+    from geographiclib_go_spark import queries as Q
+    from geographiclib_go_spark.kernels import caps as C
+    from geographiclib_go_spark.kernels import inverse as kinv
+    from geographiclib_go_spark.kernels.geodesic import wgs84_model
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.q_qid: (r.n, r.nearest_m)
+           for r in Q.ellip_nearest_landmark(spark, sf).collect()}
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet") \
+        .select("c_custkey").toPandas()
+    ck = cust.c_custkey.to_numpy(np.int64)
+    lat = (ck * 9973) % 17000 / 100.0 - 85.0
+    lon = (ck * 7919) % 36000 / 100.0 - 180.0
+    g = wgs84_model()
+    want = {}
+    for qid, qla, qlo in Q.LANDMARKS:
+        s12 = kinv.inverse(g, np.full(ck.size, qla),
+                           np.full(ck.size, qlo), lat, lon,
+                           C.DISTANCE)["s12"]
+        want[qid] = (1, round(float(s12.min()), 3))
+    assert got == want
