@@ -90,6 +90,12 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
                      .alias("band_key"))
             for b in range(bands)])).alias("bb"))
     bands_df = bands_df.select("doc_id", "bb.band", "bb.band_key")
+    # persist the (tiny) band table before the self-join: Spark does
+    # not reuse subplans across self-join sides, so without this the
+    # signature UDF and the document scan run TWICE (r2 plan audit).
+    # At cluster scale the signature table is written once and the
+    # join reads it; cache() is the sandbox analog.
+    bands_df = bands_df.cache()
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     pairs = (a.join(b, ["band", "band_key"])
@@ -128,7 +134,12 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8,
                   .withColumnRenamed("_t", "_ta"), "id_a")
             .join(texts.withColumnRenamed("doc_id", "id_b")
                   .withColumnRenamed("_t", "_tb"), "id_b"))
-    jac = ngram_jaccard_udf(shingle)
+    # asNondeterministic stops Catalyst from inlining the UDF into
+    # both the filter AND the projection (the extracted-python-UDF
+    # rule otherwise evaluates jaccard twice per candidate — seen in
+    # the r2 plan audit); the function is pure, so results are
+    # unaffected, the verify kernel just runs once per pair.
+    jac = ngram_jaccard_udf(shingle).asNondeterministic()
     return (cand.withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
@@ -166,6 +177,9 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                      .alias("chunk_val"))
             for c in range(chunks)])).alias("cc"))
     parts = parts.select("doc_id", "simhash", "cc.chunk", "cc.chunk_val")
+    # persist before the self-join (see minhash_candidates: avoids
+    # running the signature UDF once per join side)
+    parts = parts.cache()
     a = parts.alias("a")
     b = parts.alias("b")
     pairs = (a.join(b, ["chunk", "chunk_val"])

@@ -163,12 +163,15 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     hyperplane-LSH bucketings, union of bucket collisions, exact
     cosine verify >= threshold."""
     base = corpus.select(F.col(id_col).alias("vec_id"),
-                         F.col(vec_col).alias("_v"))
+                         F.col(vec_col).alias("_v")).cache()
     cands = None
     for t in range(n_tables):
         sig = hyperplane_sig_udf(dim, bits, seed=100 + t)
+        # cache each table's bucket assignment before its self-join
+        # (no subplan reuse across self-join sides — without this the
+        # sig UDF runs twice per table)
         s = base.withColumn("bucket", sig(F.col("_v"))) \
-                .select("vec_id", "bucket")
+                .select("vec_id", "bucket").cache()
         a = s.alias("a")
         b = s.alias("b")
         p = (a.join(b, "bucket")
