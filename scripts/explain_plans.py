@@ -73,6 +73,46 @@ def main():
         "and ReadSchema carries only the referenced columns.",
         formatted(Q.q1_pricing_summary(spark, sf))))
 
+    sections.append((
+        "raster_coverage (raster<->vector patches)",
+        "rasterize_patches is ONE MapInPandas over the anchor table — "
+        "pixels never become rows, no Exchange before the query's own "
+        "ORDER BY.  Scaling is governed purely by anchor partitioning.",
+        formatted(Q.raster_coverage(spark, sf))))
+
+    sections.append((
+        "doc_minhash_pairs (LSH band join + verify)",
+        "What to look for (r2 audit fixes): exactly ONE "
+        "ArrowEvalPython[jaccard] node (the nondeterministic marker "
+        "stops Catalyst duplicating the verify UDF into the filter), "
+        "and the band table feeding BOTH self-join sides from "
+        "InMemoryTableScan (the signature UDF runs once, not per "
+        "side).  The join itself is an equi-join on (band, exact "
+        "band-value struct) — only colliding buckets pair up, no "
+        "cross product anywhere.",
+        formatted(Q.doc_minhash_pairs(spark, sf))))
+
+    # kNN ring round (large-query-side strategy): capture the shape of
+    # one expansion round — cell equi-join (no broadcast of the big
+    # cover side), window top-k, and the distributed done-set
+    # semi-join.  Built lazily here (strategy='ring' on a small side
+    # would execute driver rounds if collected; formatted() only
+    # inspects the plan of the first round's output lineage).
+    from geographiclib_go_spark.operators import spatial_join as sj
+    pts = Q._customer_points(spark, sf)
+    qside = pts.selectExpr("c_custkey as qid", "lat", "lon").limit(500)
+    ring = sj.knn_join(pts.select("lat", "lon", "c_custkey"), qside,
+                       k=2, res=3, strategy="ring", max_rounds=1)
+    sections.append((
+        "knn_join ring round (large query side)",
+        "Per-round state is fully distributed: the done-set is an "
+        "agg+filter DataFrame joined back LeftSemi (results) / "
+        "LeftAnti (next round's unresolved) — no driver-held id "
+        "lists, no isin() literals in the plan.  The cover join is a "
+        "plain cell equi-join so AQE can pick the join strategy and "
+        "split skewed cells.",
+        formatted(ring)))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "
