@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": Q.doc_minhash_pairs,
         "doc_simhash_pairs": Q.doc_simhash_pairs,
         "doc_fingerprints": Q.doc_fingerprints,
+        # multimodal: audio/video decode + features (real raw codecs)
+        "audio_features": Q.audio_features,
+        "video_motion": Q.video_motion,
         # embeddings: similarity search
         "emb_cosine_topk": Q.emb_cosine_topk,
         "emb_similar_pairs": Q.emb_similar_pairs,

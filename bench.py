@@ -73,6 +73,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "sphere_polygon_area", "tile_counts", "raster_coverage",
         "doc_token_stats", "doc_minhash_pairs", "doc_simhash_pairs",
         "emb_cosine_topk", "emb_near_dup_pairs",
+        "audio_features", "video_motion",
     ]
     for name in headline:
         fn = getattr(Q, name)
@@ -104,7 +105,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 21 queries)",
+                  "pipeline + 23 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -619,6 +619,37 @@ def emb_similar_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def audio_features(spark, sf_dir):
+    """Multimodal audio path: 200 deterministic WAV clips generated
+    distributedly, decoded by the engine's real RIFF/PCM parser
+    (sources/media.py), DSP features over Arrow batches.  The PCM
+    samples are an integer recurrence of (audio_id, i), so every
+    feature except the FFT-based dom_freq (pytest-gated) is
+    recomputed exactly by the SQL oracle — the decode plumbing is
+    value-hash-verified end to end."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.sources import media as md
+    aud = md.generate_audio(spark, 200)
+    got = mm.extract_audio_features(aud)
+    return (got.select("audio_id", "sr", "n_samples", "duration_s",
+                       F.round(F.col("rms"), 6).alias("rms_r"),
+                       "peak", "zcr")
+            .orderBy("audio_id"))
+
+
+def video_motion(spark, sf_dir):
+    """Multimodal video path: 60 deterministic rawv clips, decoded by
+    the real multiframe container parser, per-clip motion energy
+    (mean |frame diff|).  Pixels are an integer formula of
+    (video_id, frame, y, x, c), so the oracle recomputes every pixel
+    difference exactly in SQL."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.sources import media as md
+    vids = md.generate_videos(spark, 60)
+    got = mm.video_motion_energy(vids)
+    return got.select("video_id", "n_frames", "motion").orderBy("video_id")
+
+
 def emb_near_dup_pairs(spark, sf_dir):
     """Embedding near-duplicates via the SCALE path: hyperplane-LSH
     bucket joins + exact cosine verify (similarity.py
@@ -1177,6 +1208,46 @@ ORACLE_SQL["raster_coverage"] = f"""
            ROUND(covered_px / {_RPX * _RPX}.0, 6) AS coverage_r
     FROM cov WHERE covered_px > 0
     ORDER BY tile_id, poly_id
+"""
+
+# multimodal oracles: the synthetic PCM samples / pixels are integer
+# recurrences (sources/media.py), so DuckDB regenerates every value
+# and the decode+feature plumbing is verified by exact hash
+ORACLE_SQL["audio_features"] = """
+    WITH ids AS (SELECT v AS audio_id FROM range(0, 200) t(v)),
+    idx AS (SELECT v AS i FROM range(0, 4000) t(v)),
+    s AS (SELECT audio_id, i,
+            ((audio_id * 2654435761 + i * 40503 + 12345) % 65536)
+              - 32768 AS s
+          FROM ids, idx),
+    z AS (SELECT audio_id, i, s,
+            CASE WHEN (s >= 0) <> (lag(s) OVER
+                   (PARTITION BY audio_id ORDER BY i) >= 0)
+                 THEN 1 ELSE 0 END AS flip
+          FROM s)
+    SELECT audio_id,
+           CAST(8000 AS INT) AS sr,
+           CAST(4000 AS BIGINT) AS n_samples,
+           4000 / 8000.0 AS duration_s,
+           ROUND(SQRT(SUM(s * s) / 4000.0), 6) AS rms_r,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(flip) AS BIGINT) AS zcr
+    FROM z GROUP BY audio_id ORDER BY audio_id
+"""
+
+ORACLE_SQL["video_motion"] = """
+    WITH ids AS (SELECT v AS video_id FROM range(0, 60) t(v)),
+    d AS (SELECT video_id,
+            SUM(ABS(
+              ((video_id*7 + (f.v+1)*13 + y.v*3 + x.v*5 + c.v*11) % 256)
+            - ((video_id*7 +  f.v   *13 + y.v*3 + x.v*5 + c.v*11) % 256)
+            )) AS sd
+          FROM ids, range(0, 7) f(v), range(0, 16) y(v),
+               range(0, 16) x(v), range(0, 3) c(v)
+          GROUP BY video_id)
+    SELECT video_id, CAST(8 AS INT) AS n_frames,
+           sd / 5376.0 AS motion
+    FROM d ORDER BY video_id
 """
 
 # LSH near-dup over a corpus with planted exact duplicates: the LSH

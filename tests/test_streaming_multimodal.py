@@ -92,11 +92,60 @@ def test_resize_images(spark):
         assert pix.shape == (8, 8, 3)
 
 
-def test_audio_video_stubs():
+def test_audio_video_codec_dispatch():
+    """wav/rawv decode for real; compressed codecs raise behind the
+    same dispatch (no decoder libs in this container)."""
     with pytest.raises(NotImplementedError):
-        mm.decode_audio_stub(b"xx", "mp3")
+        mm.decode_audio(b"xx", "mp3")
     with pytest.raises(NotImplementedError):
-        mm.sample_video_frames_stub(b"xx", "mp4")
+        mm.decode_video(b"xx", "mp4")
+    with pytest.raises(ValueError):
+        mm.decode_audio(b"not-a-riff-stream-at-all", "wav")
+    with pytest.raises(ValueError):
+        mm.decode_video(b"not-rawv", "rawv")
+
+
+def test_wav_roundtrip_and_features(spark):
+    """WAV bytes -> decode -> DSP features, against numpy oracles; a
+    planted pure sine must surface as the dominant frequency."""
+    from geographiclib_go_spark.sources import media as md
+    s = md.audio_samples_for(7)
+    assert np.array_equal(md.wav_decode(md.wav_encode(s, 8000))[0], s)
+
+    rate, n, freq = 8000, 4000, 440.0
+    t = np.arange(n) / rate
+    sine = np.round(20000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    rows = [(0, bytearray(md.wav_encode(s, rate)), "wav"),
+            (1, bytearray(md.wav_encode(sine, rate)), "wav"),
+            (2, bytearray(b"garbage"), "mp3")]
+    df = spark.createDataFrame(rows, "audio_id long, bytes binary, fmt string")
+    got = {r.audio_id: r for r in mm.extract_audio_features(df).collect()}
+    x = s.astype(np.int64)
+    assert got[0].decode_ok and got[0].n_samples == n
+    assert got[0].rms == pytest.approx(
+        float(np.sqrt((x * x).sum() / n)), rel=1e-12)
+    assert got[0].peak == int(np.abs(x).max())
+    nonneg = x >= 0
+    assert got[0].zcr == int((nonneg[1:] != nonneg[:-1]).sum())
+    assert got[1].dom_freq_hz == pytest.approx(freq, abs=rate / n)
+    assert got[2].decode_ok is False and got[2].rms is None
+
+
+def test_rawv_frame_sampling_and_motion(spark):
+    from geographiclib_go_spark.sources import media as md
+    vids = md.generate_videos(spark, 6)
+    frames = mm.sample_video_frames(vids, every_n=2).collect()
+    # 8 frames, every 2nd -> 4 rows per clip, content bit-exact
+    assert len(frames) == 6 * 4
+    for r in frames:
+        want = md.video_frames_for(r.video_id)[r.frame_idx]
+        assert np.array_equal(im.ppm_decode(bytes(r.bytes)), want)
+    got = {r.video_id: r for r in mm.video_motion_energy(vids).collect()}
+    for vid in range(6):
+        f = md.video_frames_for(vid).astype(np.int64)
+        d = np.abs(np.diff(f, axis=0))
+        assert got[vid].motion == pytest.approx(d.sum() / d.size, rel=0)
+        assert got[vid].n_frames == 8
 
 
 def test_streaming_tile_counts(spark, tmp_path):
