@@ -140,3 +140,37 @@ def streaming_tile_counts(image_points: DataFrame, tile_res: int = 6,
             .groupBy(F.window(F.col("ts"), window), F.col("tile_id"))
             .agg(F.count("*").alias("n_images"),
                  F.approx_count_distinct("phash").alias("n_phash")))
+
+
+def streaming_exact_dedup(doc_stream: DataFrame,
+                          watermark: str = "10 minutes",
+                          text_col: str = "text",
+                          ts_col: str = "ts") -> DataFrame:
+    """First-occurrence exact dedup on a document stream.
+
+    dropDuplicatesWithinWatermark on the md5 text hash: Spark keeps
+    dedup state only within the watermark horizon, so state is
+    BOUNDED — the correct streaming shape at ingest scale (exactly-
+    once within the horizon; cross-horizon duplicates are the batch
+    compactor's job, the standard streaming/batch split).  The hash
+    column rides along in the output for downstream lineage."""
+    return (doc_stream
+            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
+def streaming_doc_signatures(doc_stream: DataFrame,
+                             num_hashes: int = 64, shingle: int = 5,
+                             text_col: str = "text") -> DataFrame:
+    """Map-side MinHash + SimHash signatures over a document stream —
+    the same batch-vectorized sketch kernels (operators/sketch_hash)
+    run unchanged under readStream because they are stateless per
+    Arrow batch.  At scale the signature sink feeds the banding join
+    (a batch or stream-stream equi-join on band values)."""
+    from geographiclib_go_spark.operators import dedup as ded
+    msig = ded.minhash_signature_udf(num_hashes, shingle)
+    ssig = ded.simhash_udf()
+    return doc_stream.withColumn(
+        "minhash_sig", msig(F.col(text_col))).withColumn(
+        "simhash", ssig(F.col(text_col)))

@@ -191,3 +191,82 @@ def test_streaming_tile_counts(spark, tmp_path):
     want = dict(zip(batch.tile_id, batch["count"]))
     got_latest = got.groupby("tile_id").n_images.max().to_dict()
     assert got_latest == want
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-occurrence dedup (bounded watermark state)
+    keeps exactly the batch exact_dedup survivors when arrival order
+    is id order (min-id == first-arrival)."""
+    import pandas as pd
+    from geographiclib_go_spark.operators import dedup as ded
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon",
+             "gamma delta", "zeta eta theta"]
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=m) for m in range(6)],
+        "doc_id": list(range(6)),
+        "text": texts,
+    })
+    # two micro-batches with a duplicate crossing the batch boundary
+    spark.createDataFrame(pdf.iloc[:3]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[3:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+
+    stream = (spark.readStream
+              .schema("ts timestamp, doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = ps.streaming_exact_dedup(stream, watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT doc_id FROM dedup_stream").toPandas()
+    finally:
+        q.stop()
+
+    want = sorted(
+        r.doc_id for r in ded.exact_dedup(
+            spark.createDataFrame(pdf[["doc_id", "text"]])).collect())
+    assert sorted(got.doc_id.tolist()) == want == [0, 1, 3, 5]
+
+
+def test_streaming_signatures_match_batch(spark, tmp_path):
+    """The sketch kernels are stateless per Arrow batch, so streaming
+    signatures are bit-identical to the batch path."""
+    import pandas as pd
+    from geographiclib_go_spark.operators import dedup as ded
+
+    src = tmp_path / "sig_in"
+    src.mkdir()
+    pdf = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [f"doc number {i} spark shuffle join window" * (i + 1)
+                 for i in range(8)],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src / "*")))
+    q = (ps.streaming_doc_signatures(stream)
+         .writeStream.format("memory").queryName("sig_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id, minhash_sig, simhash FROM sig_stream") \
+            .toPandas().set_index("doc_id").sort_index()
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(pdf)
+    msig = ded.minhash_signature_udf(64, 5)
+    ssig = ded.simhash_udf()
+    want = (batch_df.select("doc_id", msig("text").alias("m"),
+                            ssig("text").alias("s"))
+            .toPandas().set_index("doc_id").sort_index())
+    for i in range(8):
+        assert list(got.minhash_sig[i]) == list(want.m[i])
+        assert got.simhash[i] == want.s[i]
