@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_direct_destinations": Q.sphere_direct_destinations,
         "sphere_arc_destinations": Q.sphere_arc_destinations,
         "tile_counts": Q.tile_counts,
+        "tile_pyramid": Q.tile_pyramid,
         "raster_coverage": Q.raster_coverage,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,

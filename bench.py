@@ -70,7 +70,8 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "sphere_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
         "ellip_nearest_landmark", "sphere_nearest_landmark",
-        "sphere_polygon_area", "tile_counts", "raster_coverage",
+        "sphere_polygon_area", "tile_counts", "tile_pyramid",
+        "raster_coverage",
         "doc_token_stats", "doc_minhash_pairs", "doc_simhash_pairs",
         "emb_cosine_topk", "emb_near_dup_pairs",
         "audio_features", "video_motion",
@@ -105,7 +106,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 23 queries)",
+                  "pipeline + 24 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

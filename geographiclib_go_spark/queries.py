@@ -362,6 +362,26 @@ def tile_counts(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def tile_pyramid(spark, sf_dir):
+    """Hierarchical tile rollup: per-cell counts at resolutions 3/2/1
+    in ONE pass — the quadtree hierarchy is a shift
+    (cells.cell_parent), so coarser levels are derived JVM-side from
+    the res-3 assignment (explode + one shuffle, no second kernel
+    call).  The oracle recomputes the closed-form encode and the same
+    integer shifts in SQL, so every (res, cell, n) row is verified."""
+    pts = _customer_points(spark, sf_dir)
+    t = tiling.assign_tiles(pts, 3)
+    lv = t.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("res"),
+                 F.shiftright(F.col("tile_id"), 2 * (3 - r))
+                 .alias("cell"))
+        for r in (3, 2, 1)])).alias("rc"))
+    return (lv.groupBy(F.col("rc.res").alias("res"),
+                       F.col("rc.cell").alias("cell"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("res", "cell"))
+
+
 # raster_coverage fixtures: anchor centers (the 12 landmarks + a
 # dateline probe) and axis-aligned box polygons placed to yield
 # partial coverage at three anchors (including across the dateline)
@@ -1159,6 +1179,18 @@ ORACLE_SQL["doc_minhash_pairs"] = _sk.minhash_pairs_oracle_sql(
 ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
     max_hamming=8)
 ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
+
+# tile_pyramid: reuse the closed-form cube-face encode from the
+# tile_counts oracle, then the same parent shifts (integer divides)
+ORACLE_SQL["tile_pyramid"] = ORACLE_SQL["tile_counts"].replace(
+    """SELECT tile_id, COUNT(*) AS n FROM cells
+        GROUP BY tile_id ORDER BY tile_id""",
+    """, lv AS (
+          SELECT CAST(3 AS INT) AS res, tile_id AS cell FROM cells
+          UNION ALL SELECT 2, tile_id // 4 FROM cells
+          UNION ALL SELECT 1, tile_id // 16 FROM cells)
+        SELECT res, cell, COUNT(*) AS n FROM lv
+        GROUP BY res, cell ORDER BY res, cell""")
 
 # raster_coverage: closed-form spherical gnomonic un-projection +
 # box-range PIP (points_in_ring interpolates edges linearly in
