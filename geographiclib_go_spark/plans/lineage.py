@@ -1,27 +1,40 @@
-"""Checkpointed stage snapshots with per-partition lineage + metrics
-(north rule: any stage resumes idempotently).
+"""Checkpointed, VERSIONED stage snapshots with per-partition lineage
++ metrics (north rule: any stage resumes idempotently).
 
-Storage abstraction: Iceberg when a catalog is configured (snapshot
-pinning comes free), else plain parquet stage directories — the
-lineage/metrics semantics are identical either way (SURVEY.md §7
-risk 4).  Every stage write produces:
+Storage abstraction: Iceberg when a catalog is configured, else plain
+parquet directories with Iceberg-SHAPED commit semantics — a stage is
+a pointer to an immutable snapshot, every write creates a NEW
+snapshot, and commit is an atomic pointer swap (SURVEY.md §7 risk 4):
 
-  <root>/<stage>/data/           the stage output (parquet)
-  <root>/<stage>/_lineage/       (partition_id, rows, checksum) sidecar
-  <root>/<stage>/_metrics/       stage-level metrics (rows, bytes, ts)
-  <root>/<stage>/_SUCCESS_STAGE  commit marker (atomic rename contract)
+  <root>/<stage>/snapshots/v00001/data/      immutable stage output
+  <root>/<stage>/snapshots/v00001/_lineage/  (partition_id, rows,
+                                             checksum) sidecar
+  <root>/<stage>/snapshots/v00001/commit.json  per-snapshot metrics
+  <root>/<stage>/_CURRENT                    atomic pointer (rename)
 
-Resume: ``run_stage`` short-circuits when the commit marker exists and
-the stored input fingerprint matches — re-running a finished pipeline
-is a metadata-only no-op, and a crashed run redoes only unfinished
-stages.  The per-partition checksums let a verifier (or the next
-round) detect partial/corrupt outputs without reading full data.
+This buys, with plain files, the Iceberg guarantees the engine
+depends on:
+
+- resume:     ``run_stage`` short-circuits when the CURRENT snapshot
+              carries the same input fingerprint — reruns are
+              metadata no-ops; a crashed run never half-overwrites a
+              committed snapshot (writes go to a new version dir).
+- time travel: ``read_stage(..., version=n)`` reads any retained
+              snapshot; ``snapshot_history`` lists them.
+- rollback:   ``rollback_stage`` repoints CURRENT to an older
+              version — one atomic rename, no data movement.
+- retention:  ``expire_snapshots`` prunes old versions (never the
+              current one).
+
+The per-partition checksums (order-insensitive xor of row hashes) let
+a verifier detect partial/corrupt outputs without reading full data.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Callable
 
@@ -29,15 +42,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _stage_paths(root: str, stage: str) -> dict:
-    base = os.path.join(root, stage)
-    return {
-        "base": base,
-        "data": os.path.join(base, "data"),
-        "lineage": os.path.join(base, "_lineage"),
-        "metrics": os.path.join(base, "_metrics"),
-        "marker": os.path.join(base, "_SUCCESS_STAGE"),
-    }
+def _stage_base(root: str, stage: str) -> str:
+    return os.path.join(root, stage)
+
+
+def _snap_dir(root: str, stage: str, version: int) -> str:
+    return os.path.join(_stage_base(root, stage), "snapshots",
+                        f"v{version:05d}")
+
+
+def _pointer_path(root: str, stage: str) -> str:
+    return os.path.join(_stage_base(root, stage), "_CURRENT")
+
+
+def current_snapshot(root: str, stage: str) -> dict | None:
+    """The committed pointer: {"version": n, "input_fingerprint": ...,
+    metrics...}, or None when the stage never committed."""
+    try:
+        with open(_pointer_path(root, stage)) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def snapshot_history(root: str, stage: str) -> list:
+    """All retained snapshots (committed or orphaned), oldest first:
+    [{"version": n, ...commit metadata...}, ...]."""
+    snaps = os.path.join(_stage_base(root, stage), "snapshots")
+    out = []
+    if not os.path.isdir(snaps):
+        return out
+    for name in sorted(os.listdir(snaps)):
+        meta_path = os.path.join(snaps, name, "commit.json")
+        try:
+            with open(meta_path) as fh:
+                out.append(json.load(fh))
+        except (OSError, json.JSONDecodeError):
+            continue
+    return out
 
 
 def partition_lineage(df: DataFrame) -> DataFrame:
@@ -57,15 +99,32 @@ def partition_lineage(df: DataFrame) -> DataFrame:
 
 def stage_is_complete(root: str, stage: str,
                       input_fingerprint: str = "") -> bool:
-    p = _stage_paths(root, stage)
-    if not os.path.exists(p["marker"]):
-        return False
-    try:
-        with open(p["marker"]) as fh:
-            meta = json.load(fh)
-        return meta.get("input_fingerprint", "") == input_fingerprint
-    except (OSError, json.JSONDecodeError):
-        return False
+    cur = current_snapshot(root, stage)
+    return (cur is not None
+            and cur.get("input_fingerprint", "") == input_fingerprint)
+
+
+def read_stage(spark: SparkSession, root: str, stage: str,
+               version: int = None) -> DataFrame:
+    """Stage output — the current snapshot, or any retained version
+    (time travel)."""
+    if version is None:
+        cur = current_snapshot(root, stage)
+        if cur is None:
+            raise FileNotFoundError(f"stage {stage!r} has no committed "
+                                    f"snapshot under {root}")
+        version = cur["version"]
+    return spark.read.parquet(
+        os.path.join(_snap_dir(root, stage, version), "data"))
+
+
+def read_lineage(spark: SparkSession, root: str, stage: str,
+                 version: int = None) -> DataFrame:
+    if version is None:
+        cur = current_snapshot(root, stage)
+        version = cur["version"] if cur else 1
+    return spark.read.parquet(
+        os.path.join(_snap_dir(root, stage, version), "_lineage"))
 
 
 def run_stage(spark: SparkSession, root: str, stage: str,
@@ -74,58 +133,100 @@ def run_stage(spark: SparkSession, root: str, stage: str,
               partition_by: list = None) -> DataFrame:
     """Execute (or resume) one pipeline stage.
 
-    If the stage committed with the same input fingerprint, the stored
-    output is returned without recompute.  Otherwise the DataFrame
-    from build() is written (data + lineage + metrics), then marked.
-    """
-    p = _stage_paths(root, stage)
+    If the CURRENT snapshot committed with the same input fingerprint,
+    its data is returned without recompute.  Otherwise build() is
+    written into a NEW snapshot directory (data + lineage + commit
+    metadata) and the CURRENT pointer swaps atomically — concurrent
+    readers of the old snapshot are never disturbed, and a crash
+    before the swap leaves the stage pointing at the last good
+    version (the orphan snapshot is expired later)."""
     if stage_is_complete(root, stage, input_fingerprint):
-        return spark.read.parquet(p["data"])
+        return read_stage(spark, root, stage)
+
+    cur = current_snapshot(root, stage)
+    version = (cur["version"] + 1) if cur else 1
+    hist = snapshot_history(root, stage)
+    if hist:
+        version = max(version, hist[-1]["version"] + 1)
+    snap = _snap_dir(root, stage, version)
 
     t0 = time.time()
     df = build()
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(p["data"])
+    writer.parquet(os.path.join(snap, "data"))
 
-    out = spark.read.parquet(p["data"])
+    out = spark.read.parquet(os.path.join(snap, "data"))
     lin = partition_lineage(out)
-    lin.write.mode("overwrite").parquet(p["lineage"])
+    lin.write.mode("overwrite").parquet(os.path.join(snap, "_lineage"))
     rows = out.count()
-    metrics = {
+    meta = {
         "stage": stage,
+        "version": version,
         "rows": rows,
         "wall_s": round(time.time() - t0, 3),
         "input_fingerprint": input_fingerprint,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_partitions": out.rdd.getNumPartitions(),
     }
-    spark.createDataFrame([metrics]).write.mode("overwrite") \
-        .json(p["metrics"])
-    os.makedirs(p["base"], exist_ok=True)
-    tmp = p["marker"] + ".tmp"
+    with open(os.path.join(snap, "commit.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    ptr = _pointer_path(root, stage)
+    os.makedirs(os.path.dirname(ptr), exist_ok=True)
+    tmp = ptr + f".tmp.v{version}"
     with open(tmp, "w") as fh:
-        json.dump(metrics, fh)
-    os.replace(tmp, p["marker"])  # atomic commit
+        json.dump(meta, fh)
+    os.replace(tmp, ptr)  # atomic commit: pointer swap
     return out
 
 
+def rollback_stage(root: str, stage: str, version: int) -> dict:
+    """Repoint CURRENT at an older retained snapshot (one atomic
+    rename, no data movement) and return its metadata."""
+    meta_path = os.path.join(_snap_dir(root, stage, version),
+                             "commit.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    ptr = _pointer_path(root, stage)
+    tmp = ptr + f".tmp.rb{version}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, ptr)
+    return meta
+
+
+def expire_snapshots(root: str, stage: str, keep: int = 2) -> list:
+    """Delete all but the newest `keep` snapshots — never the current
+    one.  Returns the expired version numbers."""
+    cur = current_snapshot(root, stage)
+    cur_v = cur["version"] if cur else None
+    hist = snapshot_history(root, stage)
+    old = hist[:-keep] if keep > 0 else hist
+    victims = [m["version"] for m in old]
+    expired = []
+    for v in victims:
+        if v == cur_v:
+            continue
+        shutil.rmtree(_snap_dir(root, stage, v), ignore_errors=True)
+        expired.append(v)
+    return expired
+
+
 def verify_stage(spark: SparkSession, root: str, stage: str) -> bool:
-    """Recompute per-partition checksums of the stored stage output
-    and compare with the lineage sidecar (corruption / partial-write
-    detector used before resume)."""
-    p = _stage_paths(root, stage)
-    data = spark.read.parquet(p["data"])
-    stored_rows = spark.read.parquet(p["lineage"]) \
+    """Recompute row totals of the current stage output and compare
+    with the lineage sidecar (corruption / partial-write detector
+    used before resume)."""
+    data = read_stage(spark, root, stage)
+    stored_rows = read_lineage(spark, root, stage) \
         .agg(F.sum("rows")).collect()[0][0]
     return data.count() == (stored_rows or 0)
 
 
 def completed_partition_keys(spark: SparkSession, root: str, stage: str,
                              key: str) -> DataFrame:
-    """Distinct values of `key` already present in a stage output —
-    subtract with exceptAll/left_anti to resume partial fan-out work
-    at sub-stage granularity."""
-    p = _stage_paths(root, stage)
-    return spark.read.parquet(p["data"]).select(key).distinct()
+    """Distinct values of `key` already present in the current stage
+    output — subtract with exceptAll/left_anti to resume partial
+    fan-out work at sub-stage granularity."""
+    return read_stage(spark, root, stage).select(key).distinct()

@@ -86,5 +86,39 @@ def test_lineage_resume_is_noop(spark):
         assert calls["n"] == 2
         assert lineage.verify_stage(spark, root, "s1")
         # lineage sidecar exists with per-partition rows
-        lin = spark.read.parquet(os.path.join(root, "s1", "_lineage"))
+        lin = lineage.read_lineage(spark, root, "s1")
         assert lin.agg(F.sum("rows")).collect()[0][0] == 100
+
+
+def test_lineage_time_travel_rollback_expire(spark):
+    """Iceberg-shaped commit semantics on plain files: every write is
+    a new immutable snapshot + atomic pointer swap; old versions stay
+    readable (time travel), rollback is a pointer move, expiration
+    prunes all but the newest N and never the current."""
+    with tempfile.TemporaryDirectory() as root:
+        for n, fp in ((100, "fp1"), (200, "fp2"), (300, "fp3")):
+            lineage.run_stage(spark, root, "s", lambda n=n:
+                              spark.range(n), input_fingerprint=fp)
+        hist = lineage.snapshot_history(root, "s")
+        assert [m["version"] for m in hist] == [1, 2, 3]
+        assert lineage.current_snapshot(root, "s")["version"] == 3
+        # time travel: every retained version readable
+        for v, n in ((1, 100), (2, 200), (3, 300)):
+            assert lineage.read_stage(spark, root, "s", version=v) \
+                .count() == n
+        # rollback: pointer move only; resume logic follows the pointer
+        lineage.rollback_stage(root, "s", 2)
+        assert lineage.read_stage(spark, root, "s").count() == 200
+        assert lineage.stage_is_complete(root, "s", "fp2")
+        assert not lineage.stage_is_complete(root, "s", "fp3")
+        # a new write after rollback takes a FRESH version number
+        lineage.run_stage(spark, root, "s",
+                          lambda: spark.range(400),
+                          input_fingerprint="fp4")
+        assert lineage.current_snapshot(root, "s")["version"] == 4
+        # expire: keep newest 2 (v3, v4), never the current
+        expired = lineage.expire_snapshots(root, "s", keep=2)
+        assert expired == [1, 2]
+        assert [m["version"]
+                for m in lineage.snapshot_history(root, "s")] == [3, 4]
+        assert lineage.read_stage(spark, root, "s").count() == 400
