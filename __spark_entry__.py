@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": Q.doc_token_stats,
         "doc_lang_guess": Q.doc_lang_guess,
         "doc_quality_buckets": Q.doc_quality_buckets,
+        "doc_bpe_tokens": Q.doc_bpe_tokens,
         "doc_minhash_pairs": Q.doc_minhash_pairs,
         "doc_simhash_pairs": Q.doc_simhash_pairs,
         "doc_fingerprints": Q.doc_fingerprints,

@@ -90,6 +90,37 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", score)
 
 
+# BPE-ish pre-tokenizer classes (GPT-2-style splitting simplified to
+# a regex-engine-portable form: letter runs, single digits, single
+# non-alnum marks).  Kept to character classes so Java regex (Spark,
+# whole-stage codegen) and RE2 (DuckDB oracle) agree exactly.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def with_bpe_token_stats(df: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Sub-word-style token counts via the BPE-ish pre-tokenizer
+    regex — all JVM-side regexp_extract_all/size expressions (no
+    Python), mirrored exactly in the SQL oracle."""
+    c = F.col(text_col)
+    return (df
+            .withColumn("n_bpe_tokens",
+                        F.size(F.expr(
+                            f"regexp_extract_all({text_col}, "
+                            f"'{BPE_TOKEN_RE}', 0)")).cast("long"))
+            .withColumn("n_alpha_runs",
+                        F.size(F.expr(
+                            f"regexp_extract_all({text_col}, "
+                            f"'[A-Za-z]+', 0)")).cast("long"))
+            .withColumn("n_digits",
+                        F.size(F.expr(
+                            f"regexp_extract_all({text_col}, "
+                            f"'[0-9]', 0)")).cast("long"))
+            .withColumn("n_marks",
+                        (F.col("n_bpe_tokens") - F.col("n_alpha_runs")
+                         - F.col("n_digits")).cast("long")))
+
+
 def fingerprint_udf(window: int = 16):
     """Rolling polynomial document fingerprint (Rabin-Karp style):
     min of the 62-bit wide polynomial hash over `window`-char windows

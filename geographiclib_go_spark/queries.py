@@ -570,6 +570,17 @@ def doc_quality_buckets(spark, sf_dir):
             .orderBy("quality"))
 
 
+def doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (letter runs / digits / marks) —
+    pure JVM regexp expressions in whole-stage codegen, oracled by
+    the identical character-class regexes in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.with_bpe_token_stats(docs)
+    return (out.select("doc_id", "n_bpe_tokens", "n_alpha_runs",
+                       "n_digits", "n_marks")
+            .orderBy("doc_id"))
+
+
 def doc_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs, Jaccard-verified.  SQL-oracled:
     the sketch hashes are explicit polynomial arithmetic
@@ -1179,6 +1190,22 @@ ORACLE_SQL["doc_minhash_pairs"] = _sk.minhash_pairs_oracle_sql(
 ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
     max_hamming=8)
 ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
+
+ORACLE_SQL["doc_bpe_tokens"] = """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT)
+          AS n_bpe_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+          AS n_alpha_runs,
+      CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+          AS n_digits,
+      CAST(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))
+         - len(regexp_extract_all(text, '[A-Za-z]+'))
+         - len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_marks
+    FROM documents ORDER BY doc_id
+"""
 
 # tile_pyramid: reuse the closed-form cube-face encode from the
 # tile_counts oracle, then the same parent shifts (integer divides)
