@@ -109,3 +109,82 @@ def test_cell_hierarchy_property(lat, lon, res):
     cla, clo = kcells.cell_center(np.array([c]), res)
     c2 = int(kcells.cell_from_latlon(cla, clo, res)[0])
     assert c2 == c
+
+
+# --------------------------------------------------------------------------
+# sketch-hash + raw-media kernels (round 2)
+# --------------------------------------------------------------------------
+
+from geographiclib_go_spark.operators import sketch_hash as sk
+from geographiclib_go_spark.sources import media as md
+
+texts_st = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+            min_size=0, max_size=60),
+    min_size=1, max_size=8)
+
+
+def _naive_poly(s, base, mod):
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+@given(texts_st)
+@settings(max_examples=60, deadline=None)
+def test_shingle_sets_match_naive(texts):
+    h1, hw, offs = sk.shingle_sets(texts, 5)
+    for i, s in enumerate(texts):
+        got = set(zip(h1[offs[i]:offs[i + 1]].tolist(),
+                      hw[offs[i]:offs[i + 1]].tolist()))
+        if len(s) < 5:
+            want = {(0, 0)}
+        else:
+            want = set()
+            for j in range(len(s) - 4):
+                w = s[j:j + 5]
+                a = _naive_poly(w, sk.B1, sk.P1)
+                want.add((a, a * sk.P2 + _naive_poly(w, sk.B2, sk.P2)))
+        assert got == want, (i, s)
+
+
+@given(texts_st)
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_matches_per_doc(texts):
+    """Batch result must be independent of batch composition: each
+    document's signature equals its singleton-batch signature."""
+    batch = sk.simhash_batch(texts)
+    for i, s in enumerate(texts):
+        assert batch[i] == sk.simhash_batch([s])[0], (i, s)
+
+
+@given(texts_st, st.integers(min_value=2, max_value=24))
+@settings(max_examples=40, deadline=None)
+def test_fingerprint_batch_matches_per_doc(texts, window):
+    batch = sk.fingerprint_batch(texts, window)
+    for i, s in enumerate(texts):
+        assert batch[i] == sk.fingerprint_batch([s], window)[0]
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=500),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as _np
+    s = _np.asarray(samples, dtype=_np.int16)
+    got, got_rate = md.wav_decode(md.wav_encode(s, rate))
+    assert got_rate == rate
+    assert _np.array_equal(got, s)
+
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_rawv_roundtrip_property(vid, n, h, w):
+    import numpy as _np
+    frames = md.video_frames_for(vid, n, h, w)
+    assert _np.array_equal(md.rawv_decode(md.rawv_encode(frames)), frames)
