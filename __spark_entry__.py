@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_by_nation": Q.supplier_balance_by_nation,
         "events_hourly": Q.events_hourly,
         "events_props_sum": Q.events_props_sum,
+        "events_asof_view": Q.events_asof_view,
         "part_type_pivot": Q.part_type_pivot,
         # spatial kernels + joins (sphere variants SQL-oracled)
         "sphere_distance_buckets": Q.sphere_distance_buckets,

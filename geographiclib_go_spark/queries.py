@@ -254,6 +254,25 @@ def events_props_sum(spark, sf_dir):
             .agg(F.sum(k).alias("sum_k"), F.count("*").alias("n")))
 
 
+def events_asof_view(spark, sf_dir):
+    """As-of join: every click annotated with the user's most recent
+    view at or before it (backward as-of, per user).  The engine plan
+    is the union + last-ignorenulls window (operators/temporal.py) —
+    one shuffle, no range cross product; DuckDB's native ASOF LEFT
+    JOIN is the oracle."""
+    from geographiclib_go_spark.operators import temporal as tp
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "ts", "user_id")
+    views = ev.filter(F.col("event_type") == "view") \
+              .select("event_id", "ts", "user_id")
+    got = tp.asof_join(clicks, views, on="user_id", ts_col="ts",
+                       right_cols=["event_id"], seq_col="event_id")
+    return (got.select("event_id", "user_id",
+                       F.col("r_event_id").alias("view_event_id"))
+            .orderBy("event_id"))
+
+
 def part_type_pivot(spark, sf_dir):
     """Conditional aggregation (pivot shape) on part size classes."""
     part = _t(spark, sf_dir, "part")
@@ -1190,6 +1209,17 @@ ORACLE_SQL["doc_minhash_pairs"] = _sk.minhash_pairs_oracle_sql(
 ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
     max_hamming=8)
 ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
+
+ORACLE_SQL["events_asof_view"] = """
+    WITH clicks AS (SELECT event_id, ts, user_id FROM events
+                    WHERE event_type = 'click'),
+    views AS (SELECT event_id, ts, user_id FROM events
+              WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, v.event_id AS view_event_id
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.event_id
+"""
 
 ORACLE_SQL["doc_bpe_tokens"] = """
     SELECT doc_id,

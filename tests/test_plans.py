@@ -122,3 +122,49 @@ def test_lineage_time_travel_rollback_expire(spark):
         assert [m["version"]
                 for m in lineage.snapshot_history(root, "s")] == [3, 4]
         assert lineage.read_stage(spark, root, "s").count() == 400
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union+window as-of join must reproduce pandas merge_asof
+    (backward, by key) including equal-timestamp matches and
+    no-prior-row nulls."""
+    import numpy as np
+    import pandas as pd
+    from geographiclib_go_spark.operators import temporal as tp
+
+    rng = np.random.default_rng(21)
+    base = pd.Timestamp("2026-01-01")
+    l_pdf = pd.DataFrame({
+        "lid": np.arange(300),
+        "key": rng.integers(0, 7, 300),
+        "ts": [base + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 5000, 300)],
+    })
+    r_pdf = pd.DataFrame({
+        "rid": np.arange(1000, 1120),
+        "key": rng.integers(0, 7, 120),
+        "ts": [base + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 5000, 120)],
+    })
+    # plant an equal-timestamp pair: must match ("at or before")
+    l_pdf.loc[0, ["key", "ts"]] = (3, r_pdf.ts.iloc[0])
+    r_pdf.loc[0, "key"] = 3
+    # de-dup right (key, ts) so the match is uniquely defined
+    r_pdf = r_pdf.drop_duplicates(["key", "ts"]).reset_index(drop=True)
+
+    got = tp.asof_join(spark.createDataFrame(l_pdf),
+                       spark.createDataFrame(r_pdf),
+                       on="key", ts_col="ts", right_cols=["rid"],
+                       seq_col="rid").toPandas()
+    got = got.set_index("lid").sort_index()
+
+    want = pd.merge_asof(
+        l_pdf.sort_values("ts"), r_pdf.sort_values("ts"),
+        on="ts", by="key", direction="backward").set_index("lid") \
+        .sort_index()
+    want_rid = want.rid.astype("float64")
+    got_rid = got.r_rid.astype("float64")
+    pd.testing.assert_series_equal(got_rid, want_rid,
+                                   check_names=False)
+    # the planted equal-ts row did match
+    assert got.r_rid.loc[0] == 1000
