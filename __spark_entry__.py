@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_guess": Q.doc_lang_guess,
         "doc_quality_buckets": Q.doc_quality_buckets,
         "doc_bpe_tokens": Q.doc_bpe_tokens,
+        "doc_hll_registers": Q.doc_hll_registers,
+        "doc_hll_distinct": Q.doc_hll_distinct,
         "doc_minhash_pairs": Q.doc_minhash_pairs,
         "doc_simhash_pairs": Q.doc_simhash_pairs,
         "doc_fingerprints": Q.doc_fingerprints,

@@ -73,7 +73,8 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "ellip_nearest_landmark", "sphere_nearest_landmark",
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage",
-        "doc_token_stats", "doc_bpe_tokens", "doc_minhash_pairs",
+        "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
+        "doc_minhash_pairs",
         "doc_simhash_pairs",
         "emb_cosine_topk", "emb_near_dup_pairs",
         "audio_features", "video_motion",
@@ -108,7 +109,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 26 queries)",
+                  "pipeline + 27 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -504,3 +504,65 @@ fp AS (
 )
 SELECT doc_id, fingerprint FROM fp ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# whole-value hash (for distinct sketches)
+# --------------------------------------------------------------------------
+
+FULLTEXT_MAX = 1024   # hash the first FULLTEXT_MAX code points
+
+
+def fulltext_hash_batch(texts, max_chars: int = FULLTEXT_MAX) -> np.ndarray:
+    """62-bit wide polynomial hash of each full text (first max_chars
+    code points) — the value hash behind the HLL distinct sketch.
+    Horner over the char offset (loop bounded by the longest doc in
+    the batch, all-row vector ops inside)."""
+    codes, lens = batch_codes(texts)
+    n = int(lens.size)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    L = np.minimum(lens, max_chars)
+    h1 = np.zeros(n, dtype=np.int64)
+    h2 = np.zeros(n, dtype=np.int64)
+    max_l = int(L.max()) if n else 0
+    for j in range(max_l):
+        act = L > j
+        c = codes[offs[:-1][act] + j]
+        h1[act] = (h1[act] * B1 + c) % P1
+        h2[act] = (h2[act] * B2 + c) % P2
+    return h1 * np.int64(P2) + h2
+
+
+def fulltext_hash_ctes(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_chars: int = FULLTEXT_MAX) -> str:
+    """CTEs ending in th(doc_id, hw): the identical whole-value hash
+    in SQL (powers table inlined; terms bounded: max_chars * cp *
+    B^m mod P < 2^62 fits BIGINT exactly)."""
+    pow_values = ", ".join(
+        f"({m}, {pow(B1, m, P1)}, {pow(B2, m, P2)})"
+        for m in range(max_chars))
+    return f"""
+fpos AS (
+  SELECT {id_col} AS doc_id,
+         unnest(generate_series(1, least(length({text_col}),
+                                         {max_chars}))) AS i,
+         least(length({text_col}), {max_chars}) AS L,
+         {text_col} AS text
+  FROM {table}
+),
+fchars AS (
+  SELECT doc_id, CAST(i AS INT) AS i, L,
+         CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c
+  FROM fpos
+),
+fpowers(m, q1, q2) AS (VALUES {pow_values}),
+th AS (
+  SELECT f.doc_id,
+         (CAST(SUM(f.c * p.q1) % {P1} AS BIGINT)) * {P2}
+           + CAST(SUM(f.c * p.q2) % {P2} AS BIGINT) AS hw
+  FROM fchars f JOIN fpowers p ON p.m = f.L - f.i
+  GROUP BY f.doc_id
+  UNION ALL
+  SELECT {id_col}, 0 FROM {table} WHERE length({text_col}) = 0
+)"""

@@ -700,6 +700,39 @@ def video_motion(spark, sf_dir):
     return got.select("video_id", "n_frames", "motion").orderBy("video_id")
 
 
+def doc_hll_registers(spark, sf_dir):
+    """From-scratch HyperLogLog register table per source — the
+    mergeable distinct sketch as ROWS (operators/hll.py).  Every
+    (source, bucket, max_rho) value is exact integer arithmetic on
+    the 62-bit polynomial value hash, so the sketch itself (not just
+    its estimate) is hash-oracled in SQL — register-level
+    verification a blob-based HLL cannot offer."""
+    from geographiclib_go_spark.operators import hll
+    docs = _t(spark, sf_dir, "documents")
+    return (hll.hll_registers(docs, "text", ["source"])
+            .orderBy("source", "bucket"))
+
+
+def doc_hll_distinct(spark, sf_dir):
+    """HLL cardinality estimates vs exact distinct counts, per source
+    AND overall — the per-source groups (25 docs) exercise the
+    small-range linear-counting branch, the ALL scope (500 docs) the
+    harmonic estimator; both branches mirrored exactly in the
+    oracle."""
+    from geographiclib_go_spark.operators import hll
+    docs = _t(spark, sf_dir, "documents")
+    d2 = docs.select(
+        "text", F.explode(F.array(F.col("source"),
+                                  F.lit("ALL"))).alias("scope"))
+    est = hll.hll_distinct(d2, "text", ["scope"])
+    exact = d2.groupBy("scope").agg(
+        F.countDistinct("text").alias("exact_distinct"))
+    return (exact.join(est, "scope")
+            .select("scope", "exact_distinct",
+                    F.round(F.col("hll_estimate"), 4).alias("hll_est4"))
+            .orderBy("scope"))
+
+
 def emb_near_dup_pairs(spark, sf_dir):
     """Embedding near-duplicates via the SCALE path: hyperplane-LSH
     bucket joins + exact cosine verify (similarity.py
@@ -1337,6 +1370,67 @@ ORACLE_SQL["video_motion"] = """
     SELECT video_id, CAST(8 AS INT) AS n_frames,
            sd / 5376.0 AS motion
     FROM d ORDER BY video_id
+"""
+
+# HLL sketch oracles: the 62-bit whole-value hash is recomputed in
+# SQL (sketch_hash.fulltext_hash_ctes), then bucket/rho/register and
+# the estimator are plain integer/float arithmetic in both engines
+_HLL_REGS_CTES = f"""
+{_sk.fulltext_hash_ctes()},
+hj AS (
+  SELECT d.source, t.hw FROM documents d
+  JOIN th t ON t.doc_id = d.doc_id
+),
+regs AS (
+  SELECT source, hw % 64 AS bucket,
+         CAST(MAX(CASE WHEN hw // 64 = 0 THEN 56
+                       ELSE bit_count(xor(hw // 64, hw // 64 - 1))
+                  END) AS BIGINT) AS max_rho
+  FROM hj GROUP BY source, bucket
+)"""
+
+ORACLE_SQL["doc_hll_registers"] = f"""
+    WITH {_HLL_REGS_CTES}
+    SELECT source, bucket, max_rho FROM regs
+    ORDER BY source, bucket
+"""
+
+ORACLE_SQL["doc_hll_distinct"] = f"""
+    WITH {_sk.fulltext_hash_ctes()},
+    scoped AS (
+      SELECT d.source AS scope, d.text, t.hw FROM documents d
+      JOIN th t ON t.doc_id = d.doc_id
+      UNION ALL
+      SELECT 'ALL', d.text, t.hw FROM documents d
+      JOIN th t ON t.doc_id = d.doc_id
+    ),
+    regs AS (
+      SELECT scope, hw % 64 AS bucket,
+             MAX(CASE WHEN hw // 64 = 0 THEN 56
+                      ELSE bit_count(xor(hw // 64, hw // 64 - 1))
+                 END) AS max_rho
+      FROM scoped GROUP BY scope, bucket
+    ),
+    agg AS (
+      SELECT scope, SUM(POWER(2.0, -max_rho)) AS s,
+             COUNT(*) AS nb
+      FROM regs GROUP BY scope
+    ),
+    est AS (
+      SELECT scope,
+        CASE WHEN ({0.709 * 64 * 64} / (s + (64 - nb))) <= 160.0
+                  AND nb < 64
+             THEN 64.0 * LN(64.0 / (64 - nb))
+             ELSE {0.709 * 64 * 64} / (s + (64 - nb)) END AS e
+      FROM agg
+    ),
+    ex AS (
+      SELECT scope, COUNT(DISTINCT text) AS exact_distinct
+      FROM scoped GROUP BY scope
+    )
+    SELECT ex.scope, ex.exact_distinct, ROUND(est.e, 4) AS hll_est4
+    FROM ex JOIN est ON est.scope = ex.scope
+    ORDER BY ex.scope
 """
 
 # LSH near-dup over a corpus with planted exact duplicates: the LSH

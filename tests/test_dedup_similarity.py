@@ -149,3 +149,39 @@ def test_ivf_deterministic_across_runs_and_partitioning(spark, emb_df):
     b = run(emb_df.repartition(13))
     c = run(emb_df.coalesce(1))
     assert a == b == c and len(a) == 50
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """HLL estimates within the expected error band (~1.04/sqrt(64)
+    ~= 13% at m=64; allow 3 sigma), and register tables built from
+    disjoint halves merge (groupBy max) to exactly the full-data
+    sketch — the associativity that makes the sketch unionable
+    across partitions/snapshots."""
+    from geographiclib_go_spark.operators import hll
+
+    n = 3000
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "grp": ["g1"] * n,
+        "text": [f"unique document number {i} payload" for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    est = hll.hll_distinct(df, "text", ["grp"]).collect()[0]
+    assert abs(est.hll_estimate - n) / n < 0.40, est.hll_estimate
+
+    # mergeability: sketch(half A) max-merge sketch(half B) ==
+    # sketch(all), register for register
+    a = hll.hll_registers(df.filter(F.col("doc_id") < n // 2),
+                          "text", ["grp"])
+    b = hll.hll_registers(df.filter(F.col("doc_id") >= n // 2),
+                          "text", ["grp"])
+    merged = (a.unionByName(b).groupBy("grp", "bucket")
+              .agg(F.max("max_rho").alias("max_rho")))
+    full = hll.hll_registers(df, "text", ["grp"])
+    mm = sorted(map(tuple, merged.collect()))
+    ff = sorted(map(tuple, full.collect()))
+    assert mm == ff
+
+    # duplicates do not move the sketch at all
+    dup = hll.hll_registers(df.unionByName(df), "text", ["grp"])
+    assert sorted(map(tuple, dup.collect())) == ff
