@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": Q.events_hourly,
         "events_props_sum": Q.events_props_sum,
         "events_asof_view": Q.events_asof_view,
+        "events_sessionize": Q.events_sessionize,
+        "events_value_percentiles": Q.events_value_percentiles,
         "part_type_pivot": Q.part_type_pivot,
         # spatial kernels + joins (sphere variants SQL-oracled)
         "sphere_distance_buckets": Q.sphere_distance_buckets,

@@ -67,7 +67,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     headline = [
         "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_volume",
         "window_top_orders", "rollup_order_volume", "events_hourly",
-        "events_asof_view",
+        "events_asof_view", "events_sessionize",
         "sphere_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
         "ellip_nearest_landmark", "sphere_nearest_landmark",
@@ -109,7 +109,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 27 queries)",
+                  "pipeline + 28 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -273,6 +273,48 @@ def events_asof_view(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (6 h inactivity closes a session):
+    lag + running-sum-of-boundaries windows per user — the standard
+    distributed plan (one shuffle on user), mirrored exactly in the
+    SQL oracle.  Output keeps to integers (counts, first/last event
+    ids) so the hash compare is float-free."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds keep the gap comparison float-free on both
+    # engines (TIMESTAMP_NTZ -> TIMESTAMP is identity under the UTC
+    # session timezone)
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = mic - F.lag(mic).over(w)
+    new_s = F.when(gap.isNull() | (gap > 21_600_000_000), 1).otherwise(0)
+    s = (ev.withColumn("_new", new_s)
+         .withColumn("session_seq",
+                     F.sum("_new").over(
+                         w.rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow))))
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event_id"),
+                 F.max("event_id").alias("last_event_id"))
+            .orderBy("user_id", "session_seq"))
+
+
+def events_value_percentiles(spark, sf_dir):
+    """Ordered-set aggregates: EXACT interpolated percentiles of the
+    event value per type (Spark percentile() == DuckDB
+    quantile_cont, both linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6)
+                 .alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6)
+                 .alias("p99"),
+                 F.count("*").alias("n"))
+            .orderBy("event_type"))
+
+
 def part_type_pivot(spark, sf_dir):
     """Conditional aggregation (pivot shape) on part size classes."""
     part = _t(spark, sf_dir, "part")
@@ -1252,6 +1294,38 @@ ORACLE_SQL["events_asof_view"] = """
     FROM clicks c ASOF LEFT JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     ORDER BY c.event_id
+"""
+
+ORACLE_SQL["events_sessionize"] = """
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER uw IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER uw, ts)
+                     > 21600000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS session_seq
+      FROM w
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id,
+           MAX(event_id) AS last_event_id
+    FROM s GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+"""
+
+ORACLE_SQL["events_value_percentiles"] = """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
 """
 
 ORACLE_SQL["doc_bpe_tokens"] = """
