@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_arc_destinations": Q.sphere_arc_destinations,
         "tile_counts": Q.tile_counts,
         "tile_pyramid": Q.tile_pyramid,
+        "tile_counts_salted": Q.tile_counts_salted,
         "raster_coverage": Q.raster_coverage,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,

@@ -162,7 +162,16 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash: chunk-band join (pigeonhole over
-    max_hamming+1 chunks) then exact popcount filter."""
+    max_hamming+1 chunks) then exact popcount filter.
+
+    Scale note: chunk width is 64 // (max_hamming+1) bits, so the
+    bucket space is 2^width per chunk — at max_hamming=8 that is 128
+    buckets, fine for corpus shards up to ~10^6 docs but quadratic
+    inside buckets beyond that.  At billions of rows keep
+    max_hamming <= 3 (16-bit chunks, 65k buckets) and shard the join
+    by a document-hash prefix, or recurse the pigeonhole (split each
+    chunk collision group by a second-level chunking) — the standard
+    multi-index Hamming-join construction."""
     chunks = max_hamming + 1
     width = 64 // chunks
     sh = simhash_udf()

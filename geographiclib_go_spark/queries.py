@@ -456,6 +456,26 @@ _RASTER_HALF_M = 300e3
 _RASTER_PX = 16
 
 
+def tile_counts_salted(spark, sf_dir):
+    """tile_counts through the explicit skew machinery: hot tiles
+    detected by the scout pass, salted with the deterministic
+    pmod(xxhash64) salt, aggregated partial-on-salted-key then
+    final-on-true-key.  The oracle is the PLAIN group-by — the driver
+    hash check proves the two-phase salted aggregation is exactly
+    count-preserving."""
+    pts = _customer_points(spark, sf_dir)
+    t = tiling.assign_tiles(pts, 3)
+    hot = tiling.detect_hot_keys(t, "tile_id", threshold_ratio=0.01,
+                                 min_rows=10)
+    salted = tiling.salt_hot_keys(t, "tile_id", hot, salt_factor=8,
+                                  row_cols=["c_custkey"])
+    partial = (salted.groupBy("tile_id", "salted_key")
+               .agg(F.count("*").alias("_n")))
+    return (partial.groupBy("tile_id")
+            .agg(F.sum("_n").cast("long").alias("n"))
+            .orderBy("tile_id"))
+
+
 def raster_coverage(spark, sf_dir):
     """Raster->vector assignment (north rule): 16x16 gnomonic-plane
     raster patches around anchor points, pixel centers un-projected
@@ -1343,6 +1363,9 @@ ORACLE_SQL["doc_bpe_tokens"] = """
          - len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_marks
     FROM documents ORDER BY doc_id
 """
+
+# the salted two-phase aggregation must equal the plain group-by
+ORACLE_SQL["tile_counts_salted"] = ORACLE_SQL["tile_counts"]
 
 # tile_pyramid: reuse the closed-form cube-face encode from the
 # tile_counts oracle, then the same parent shifts (integer divides)
