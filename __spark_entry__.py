@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_guess": Q.doc_lang_guess,
         "doc_quality_buckets": Q.doc_quality_buckets,
         "doc_bpe_tokens": Q.doc_bpe_tokens,
+        "docs_clean_pipeline": Q.docs_clean_pipeline,
         "doc_hll_registers": Q.doc_hll_registers,
         "doc_hll_distinct": Q.doc_hll_distinct,
         "doc_minhash_pairs": Q.doc_minhash_pairs,

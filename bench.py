@@ -74,6 +74,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
+        "docs_clean_pipeline",
         "doc_minhash_pairs",
         "doc_simhash_pairs",
         "emb_cosine_topk", "emb_near_dup_pairs",
@@ -109,7 +110,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 28 queries)",
+                  "pipeline + 29 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -662,6 +662,22 @@ def doc_bpe_tokens(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def docs_clean_pipeline(spark, sf_dir):
+    """Composed training-data cleaning pipeline — the end-to-end
+    shape a corpus pass takes: quality score -> language gate ->
+    exact dedup (min-id survivor) -> per-survivor stats.  Every
+    component is individually oracled elsewhere; this entry verifies
+    the COMPOSITION against one SQL expression of the same pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.quality_score(tx.with_lang_guess(docs))
+    kept = scored.filter((F.col("quality") >= 0.8)
+                         & (F.col("lang_guess") == "en"))
+    deduped = ded.exact_dedup(kept)
+    return (deduped.select("doc_id", "n_tokens",
+                           F.round(F.col("quality"), 2).alias("quality_r"))
+            .orderBy("doc_id"))
+
+
 def doc_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs, Jaccard-verified.  SQL-oracled:
     the sketch hashes are explicit polynomial arithmetic
@@ -1314,6 +1330,75 @@ ORACLE_SQL["events_asof_view"] = """
     FROM clicks c ASOF LEFT JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     ORDER BY c.event_id
+"""
+
+# composed cleaning pipeline: stats -> lang/quality gates -> exact
+# dedup (min-id survivor) -> per-survivor stats, in one SQL expression
+ORACLE_SQL["docs_clean_pipeline"] = """
+    WITH s AS (
+      SELECT doc_id, text,
+        LEN(string_split(TRIM(text), ' ')) AS n_tokens,
+        LENGTH(text) AS n_chars,
+        LENGTH(REPLACE(text, ' ', ''))
+            / LEN(string_split(TRIM(text), ' ')) AS avg_tok,
+        CAST((LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))) / 5
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' and ', ''))) / 5
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' of ', ''))) / 4
+          AS BIGINT) AS hits_en,
+        CAST((LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' el ', ''))) / 4
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' la ', ''))) / 4
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' los ', ''))) / 5
+          AS BIGINT) AS hits_es,
+        CAST((LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' der ', ''))) / 5
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' und ', ''))) / 5
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' die ', ''))) / 5
+          AS BIGINT) AS hits_de,
+        CAST((LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' le ', ''))) / 4
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' les ', ''))) / 5
+          + (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' des ', ''))) / 5
+          AS BIGINT) AS hits_fr
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+        (CASE WHEN n_chars >= 20 AND n_chars <= 2000
+              THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        + (CASE WHEN n_tokens >= 5 AND n_tokens <= 500
+                THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        + (CASE WHEN avg_tok >= 2 AND avg_tok <= 12
+                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+          AS quality,
+        CASE
+          WHEN GREATEST(hits_en, hits_es, hits_de, hits_fr) = 0
+            THEN 'unk'
+          WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr)
+            THEN 'en'
+          WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr)
+            THEN 'es'
+          WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr)
+            THEN 'de'
+          ELSE 'fr' END AS lang_guess
+      FROM s),
+    kept AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.8 AND lang_guess = 'en'),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT doc_id, n_tokens, ROUND(quality, 2) AS quality_r
+    FROM dedup WHERE rn = 1 ORDER BY doc_id
 """
 
 ORACLE_SQL["events_sessionize"] = """
