@@ -92,6 +92,14 @@ def main():
         "cross product anywhere.",
         formatted(Q.doc_minhash_pairs(spark, sf))))
 
+    sections.append((
+        "events_asof_view (as-of join)",
+        "The as-of join is union + one Window exchange on the key + "
+        "last-ignorenulls fill — NO range cross product, no "
+        "BroadcastNestedLoopJoin anywhere.  The single Exchange "
+        "hashes on user_id; everything else is map-side.",
+        formatted(Q.events_asof_view(spark, sf))))
+
     # kNN ring round (large-query-side strategy): capture the shape of
     # one expansion round — cell equi-join (no broadcast of the big
     # cover side), window top-k, and the distributed done-set
