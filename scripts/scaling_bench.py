@@ -21,7 +21,7 @@ are unreliable):
   rounds x reps, with min/max spread shown.
 
 Efficiency = (median T_N / median T_4N) / 4, written to
-BENCH/SCALING_{N}_{4N}.md and stdout as JSON (BENCH/BASELINE.md is
+BENCH/SCALING_{N}_{4N}_{rows}M.md and stdout as JSON (BENCH/BASELINE.md is
 the curated summary and is never overwritten by reruns).
 """
 
@@ -192,7 +192,7 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # always a per-level report; BENCH/BASELINE.md stays the curated
     # summary document and is never clobbered by a rerun
-    fname = f"SCALING_{lo_n}_{hi_n}.md"
+    fname = f"SCALING_{lo_n}_{hi_n}_{n_images // 1_000_000}M.md"
     with open(os.path.join(REPO, "BENCH", fname), "w") as fh:
         fh.write(f"""# BENCH scaling — local[{lo_n}] vs local[{hi_n}]
 
