@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_coverage": Q.raster_coverage,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,
+        "route_distance": Q.route_distance,
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,
         "sphere_polygon_area": Q.sphere_polygon_area,

@@ -71,6 +71,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "sphere_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
         "ellip_nearest_landmark", "sphere_nearest_landmark",
+        "route_distance",
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
@@ -110,7 +111,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 29 queries)",
+                  "pipeline + 30 queries)",
         "value": total,
         "unit": "sec",
         "queries": timings,

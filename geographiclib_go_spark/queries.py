@@ -456,6 +456,26 @@ _RASTER_HALF_M = 300e3
 _RASTER_PX = 16
 
 
+_ROUTE_LATS = [LANDMARKS[0][1], LANDMARKS[1][1], LANDMARKS[2][1]]
+_ROUTE_LONS = [LANDMARKS[0][2], LANDMARKS[1][2], LANDMARKS[2][2]]
+
+
+def route_distance(spark, sf_dir):
+    """Cross-track proximity to the NYC->London->Tokyo route: every
+    customer point's distance to each great-circle segment (foot-
+    within-segment or endpoint clamp — operators/route.py).  Map-only:
+    the route's frame vectors live in the UDF closure; the SAME
+    precomputed numbers are inlined into the SQL oracle, which redoes
+    the closed-form sphere geometry per (point, segment)."""
+    from geographiclib_go_spark.operators import route as rt
+    pts = _customer_points(spark, sf_dir)
+    out = rt.route_distance_join(pts, _ROUTE_LATS, _ROUTE_LONS,
+                                 radius=SPHERE_A)
+    return (out.select("c_custkey", "seg",
+                       F.round(F.col("route_dist_m"), 2).alias("dist_r"))
+            .orderBy("c_custkey", "seg"))
+
+
 def tile_counts_salted(spark, sf_dir):
     """tile_counts through the explicit skew machinery: hot tiles
     detected by the scout pass, salted with the deterministic
@@ -1451,6 +1471,44 @@ ORACLE_SQL["doc_bpe_tokens"] = """
 
 # the salted two-phase aggregation must equal the plain group-by
 ORACLE_SQL["tile_counts_salted"] = ORACLE_SQL["tile_counts"]
+
+# route proximity: closed-form sphere cross-track geometry with the
+# driver-side frame constants inlined (operators/route.py)
+from geographiclib_go_spark.operators import route as _rt  # noqa: E402
+
+ORACLE_SQL["route_distance"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    seg(sid, ax, ay, az, bx, by, bz, nx, ny, nz, ex, ey, ez, arc)
+      AS (VALUES {_rt.route_segment_sql(_ROUTE_LATS, _ROUTE_LONS)}),
+    p AS (SELECT c_custkey,
+            COS(RADIANS(lat)) * COS(RADIANS(lon)) AS px,
+            COS(RADIANS(lat)) * SIN(RADIANS(lon)) AS py,
+            SIN(RADIANS(lat)) AS pz
+          FROM pts),
+    d0 AS (SELECT c_custkey, sid, arc,
+             px, py, pz, ax, ay, az, bx, by, bz, nx, ny, nz,
+             ex, ey, ez,
+             LEAST(GREATEST(px*nx + py*ny + pz*nz, -1.0), 1.0) AS sxt
+           FROM p, seg),
+    d1 AS (SELECT *, px - sxt*nx AS tx, py - sxt*ny AS ty,
+                  pz - sxt*nz AS tz
+           FROM d0),
+    d2 AS (SELECT *, ATAN2(tx*ex + ty*ey + tz*ez,
+                           tx*ax + ty*ay + tz*az) AS phi
+           FROM d1),
+    d3 AS (SELECT c_custkey, sid,
+             CASE WHEN phi >= 0.0 AND phi <= arc
+                  THEN ABS(ASIN(sxt))
+                  ELSE LEAST(
+                    ACOS(LEAST(GREATEST(px*ax + py*ay + pz*az,
+                                        -1.0), 1.0)),
+                    ACOS(LEAST(GREATEST(px*bx + py*by + pz*bz,
+                                        -1.0), 1.0)))
+             END * {SPHERE_A} AS dist
+           FROM d2)
+    SELECT c_custkey, sid AS seg, ROUND(dist, 2) AS dist_r
+    FROM d3 ORDER BY c_custkey, seg
+"""
 
 # tile_pyramid: reuse the closed-form cube-face encode from the
 # tile_counts oracle, then the same parent shifts (integer divides)

@@ -364,3 +364,34 @@ def test_radius_scan_rejects_duplicate_ids(spark, points_df, queries_pdf):
     with pytest.raises(ValueError, match="unique"):
         sj.distance_join(points_df, spark.createDataFrame(qdup), 500e3,
                          strategy="scan")
+
+
+def test_route_distance_kernel_properties(spark):
+    """Cross-track kernel sanity: points on the route are at ~0,
+    points past the endpoints clamp to endpoint distance, and the
+    midpoint's cross-track matches the closed-form check."""
+    from geographiclib_go_spark.operators import route as rt
+    R = 6371000.0
+    lats, lons = [0.0, 0.0], [0.0, 10.0]   # equatorial segment
+    frames = rt.route_frames(lats, lons)
+    # on-route points: distance ~ 0
+    d = rt.segment_distances(np.array([0.0, 0.0]),
+                             np.array([3.0, 7.0]), frames, R)
+    assert np.all(d < 1e-6)
+    # directly north of the segment interior: pure cross-track
+    d = rt.segment_distances(np.array([5.0]), np.array([5.0]),
+                             frames, R)
+    assert abs(d[0, 0] - R * math.radians(5.0)) < 1.0
+    # beyond the end: clamps to the endpoint great-circle distance
+    d = rt.segment_distances(np.array([0.0]), np.array([20.0]),
+                             frames, R)
+    assert abs(d[0, 0] - R * math.radians(10.0)) < 1.0
+    # Spark operator end-to-end matches the kernel
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 0.0, 20.0)], "pid long, lat double, lon double")
+    got = rt.route_distance_join(pts, lats, lons, radius=R).toPandas()
+    want = rt.segment_distances(np.array([5.0, 0.0]),
+                                np.array([5.0, 20.0]), frames, R)
+    for r in got.itertuples():
+        i = 0 if r.pid == 1 else 1
+        assert abs(r.route_dist_m - want[i, r.seg]) < 1e-9
