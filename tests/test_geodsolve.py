@@ -430,3 +430,15 @@ def test_antipodal_equator_prolate_signs():
         r = g.inverse(0, 0, 0, lon2)
         assert _equiv(azi, r.azi1), (lon2, r.azi1)
         assert _equiv(azi, r.azi2), (lon2, r.azi2)
+
+
+def test_cli_rejects_lone_ellipsoid_arg():
+    """A single trailing ellipsoid value is ambiguous — the CLI must
+    refuse instead of silently computing on WGS84 (ADVICE r1)."""
+    import importlib
+    geodsolve_cli = importlib.import_module("scripts.geodsolve")
+    with pytest.raises(SystemExit, match="BOTH a and f"):
+        geodsolve_cli.solve("direct", [10.0, 20.0, 30.0, 1e6, 6400000.0])
+    # two values work; none default to WGS84
+    out = geodsolve_cli.solve("inverse", [-41.32, 174.81, 40.96, -5.50])
+    assert "s12:" in out
