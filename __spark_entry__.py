@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,
         "route_distance": Q.route_distance,
+        "ellip_route_nearest": Q.ellip_route_nearest,
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,
         "sphere_polygon_area": Q.sphere_polygon_area,

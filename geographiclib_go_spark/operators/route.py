@@ -19,9 +19,11 @@ route_distance query a SQL oracle):
   d(P, seg) = R*|xt|                  if 0 <= phi <= arc(a,b)
             = R*min(ang(p,a), ang(p,b)) otherwise (endpoint clamp)
 
-For the ellipsoid, run this as the prefilter and refine candidates
-with the exact Karney kernel against densified route vertices — the
-same filter/refine pattern as the spatial joins.
+For the ellipsoid, the sphere pass is the prefilter (segment choice)
+and the exact Karney kernel refines via the geodesic INTERCEPT
+problem — vectorized ternary search along the frozen Line
+(intercept_on_segments) — the same filter/refine pattern as the
+spatial joins.
 """
 
 from __future__ import annotations
@@ -121,3 +123,101 @@ def route_segment_sql(route_lats, route_lons) -> str:
         rows.append("(" + ", ".join(repr(float(v)) if j else str(i)
                                     for j, v in enumerate(vals)) + ")")
     return ", ".join(rows)
+
+
+# --------------------------------------------------------------------------
+# ellipsoidal interception (filter/refine over the Karney kernel)
+# --------------------------------------------------------------------------
+
+def intercept_on_segments(g, seg_lat1, seg_lon1, seg_lat2, seg_lon2,
+                          seg_idx, lat, lon, iters: int = 60):
+    """Exact-geodesic closest approach: for each point i, the
+    distance to the nearest point ON its assigned geodesic segment
+    seg_idx[i] (the geodesic INTERCEPT problem, solved by vectorized
+    ternary search over the frozen Line — distance along a geodesic
+    segment to an off-track point is unimodal inside the injectivity
+    radius, which the sphere prefilter guarantees for corridor-scale
+    queries).
+
+    Returns (s_along, dist): meters from the segment start to the
+    foot point, and the exact geodesic distance.  All iterations are
+    whole-batch kernel calls — no per-point Python.
+    """
+    from geographiclib_go_spark.kernels import caps as C
+    from geographiclib_go_spark.kernels import direct as kdir
+    from geographiclib_go_spark.kernels import inverse as kinv
+
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    a1 = np.asarray(seg_lat1, dtype=np.float64)[seg_idx]
+    o1 = np.asarray(seg_lon1, dtype=np.float64)[seg_idx]
+    a2 = np.asarray(seg_lat2, dtype=np.float64)[seg_idx]
+    o2 = np.asarray(seg_lon2, dtype=np.float64)[seg_idx]
+
+    from geographiclib_go_spark.kernels import geomath as gm
+    base = kinv.gen_inverse(g, a1, o1, a2, o2,
+                            C.DISTANCE | C.AZIMUTH)
+    azi1 = gm.atan2d(base["salp1"], base["calp1"])
+    line = kdir.line_init(g, a1, o1, azi1,
+                          C.LATITUDE | C.LONGITUDE | C.DISTANCE_IN,
+                          salp1=base["salp1"], calp1=base["calp1"])
+    s13 = base["s12"]
+
+    def d_at(t):
+        pos = kdir.gen_position(g, line, False, t,
+                                C.LATITUDE | C.LONGITUDE)
+        return kinv.gen_inverse(g, pos["lat2"], pos["lon2"], lat, lon,
+                                C.DISTANCE)["s12"]
+
+    lo_t = np.zeros_like(s13)
+    hi_t = s13.copy()
+    for _ in range(iters):
+        m1 = lo_t + (hi_t - lo_t) / 3.0
+        m2 = hi_t - (hi_t - lo_t) / 3.0
+        d1 = d_at(m1)
+        d2 = d_at(m2)
+        take_left = d1 <= d2
+        hi_t = np.where(take_left, m2, hi_t)
+        lo_t = np.where(take_left, lo_t, m1)
+    t_best = 0.5 * (lo_t + hi_t)
+    return t_best, d_at(t_best)
+
+
+def route_nearest_ellipsoidal(points: DataFrame, route_lats, route_lons,
+                              a: float, f: float,
+                              lat_col: str = "lat",
+                              lon_col: str = "lon") -> DataFrame:
+    """Exact WGS84-style route proximity: the sphere cross-track
+    kernel picks each point's best segment (prefilter — segment
+    ORDER is robust far beyond the O(f) distance error), then the
+    geodesic intercept refines the true distance and foot point on
+    that segment.  One map-only Arrow stage; the route ships in the
+    closure."""
+    from geographiclib_go_spark.kernels.geodesic import GeodesicModel
+    frames = route_frames(route_lats, route_lons)
+    rla = np.asarray(route_lats, dtype=np.float64)
+    rlo = np.asarray(route_lons, dtype=np.float64)
+    g = GeodesicModel(a, f)
+
+    schema = T.StructType([
+        T.StructField("seg", T.IntegerType(), False),
+        T.StructField("s_along", T.DoubleType(), False),
+        T.StructField("route_dist_m", T.DoubleType(), False),
+    ])
+
+    @pandas_udf(schema)
+    def nearest(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        d = segment_distances(la, lo, frames, g.a)
+        seg = d.argmin(axis=1).astype(np.int64)
+        t, dist = intercept_on_segments(
+            g, rla[:-1], rlo[:-1], rla[1:], rlo[1:], seg, la, lo)
+        return pd.DataFrame({"seg": seg.astype(np.int32),
+                             "s_along": t, "route_dist_m": dist})
+
+    out = points.withColumn("_r", nearest(F.col(lat_col), F.col(lon_col)))
+    return (out.withColumn("seg", F.col("_r.seg"))
+            .withColumn("s_along", F.col("_r.s_along"))
+            .withColumn("route_dist_m", F.col("_r.route_dist_m"))
+            .drop("_r"))

@@ -476,6 +476,24 @@ def route_distance(spark, sf_dir):
             .orderBy("c_custkey", "seg"))
 
 
+def ellip_route_nearest(spark, sf_dir):
+    """WGS84 route proximity — the TRUE geodesic intercept (sphere
+    prefilter picks the segment, vectorized ternary search on the
+    frozen Line refines; operators/route.py).  No SQL oracle (DuckDB
+    cannot express the Karney kernel); exactness is pytest-gated
+    (sphere-reduction equality + sampled-minimum domination in
+    tests/test_spatial_spark.py)."""
+    from geographiclib_go_spark.operators import route as rt
+    from geographiclib_go_spark.kernels.geodesic import WGS84_A, WGS84_F
+    pts = _customer_points(spark, sf_dir)
+    out = rt.route_nearest_ellipsoidal(pts, _ROUTE_LATS, _ROUTE_LONS,
+                                       WGS84_A, WGS84_F)
+    return (out.select("c_custkey", "seg",
+                       F.round(F.col("s_along"), 2).alias("s_along_r"),
+                       F.round(F.col("route_dist_m"), 2).alias("dist_r"))
+            .orderBy("c_custkey"))
+
+
 def tile_counts_salted(spark, sf_dir):
     """tile_counts through the explicit skew machinery: hot tiles
     detected by the scout pass, salted with the deterministic

@@ -395,3 +395,58 @@ def test_route_distance_kernel_properties(spark):
     for r in got.itertuples():
         i = 0 if r.pid == 1 else 1
         assert abs(r.route_dist_m - want[i, r.seg]) < 1e-9
+
+
+def test_route_intercept_ellipsoidal(spark):
+    """Geodesic interception refine: on the sphere it must agree with
+    the closed-form cross-track kernel; on WGS84 it must beat every
+    densified sampling of the segment (it IS the minimum)."""
+    from geographiclib_go_spark.operators import route as rt
+    from geographiclib_go_spark.kernels import caps as Cc
+    from geographiclib_go_spark.kernels import inverse as kinv
+    from geographiclib_go_spark.kernels.geodesic import (
+        GeodesicModel, WGS84_A, WGS84_F, wgs84_model)
+    R = 6371000.0
+    lats, lons = [10.0, 52.0, 36.0], [-70.0, 0.0, 140.0]
+    rng = np.random.default_rng(3)
+    pla = rng.uniform(0, 60, 40)
+    plo = rng.uniform(-90, 150, 40)
+
+    # sphere: refine == closed form (within ternary tolerance)
+    gs = GeodesicModel(R, 0.0)
+    frames = rt.route_frames(lats, lons)
+    d_closed = rt.segment_distances(pla, plo, frames, R)
+    seg = d_closed.argmin(axis=1)
+    _t, d_ref = rt.intercept_on_segments(
+        gs, np.array(lats[:-1]), np.array(lons[:-1]),
+        np.array(lats[1:]), np.array(lons[1:]), seg, pla, plo)
+    assert np.allclose(d_ref, d_closed.min(axis=1), rtol=0, atol=0.5)
+
+    # WGS84: the intercept is <= any sampled point on the segment
+    g = wgs84_model()
+    _t2, d_e = rt.intercept_on_segments(
+        g, np.array(lats[:-1]), np.array(lons[:-1]),
+        np.array(lats[1:]), np.array(lons[1:]), seg, pla, plo)
+    from geographiclib_go_spark.kernels import direct as kdir
+    for frac in np.linspace(0, 1, 21):
+        a1 = np.array(lats[:-1])[seg]; o1 = np.array(lons[:-1])[seg]
+        a2 = np.array(lats[1:])[seg]; o2 = np.array(lons[1:])[seg]
+        base = kinv.inverse(g, a1, o1, a2, o2,
+                            Cc.DISTANCE | Cc.AZIMUTH)
+        line = kdir.line_init(g, a1, o1, base["azi1"],
+                              Cc.LATITUDE | Cc.LONGITUDE | Cc.DISTANCE_IN)
+        pos = kdir.gen_position(g, line, False, base["s12"] * frac,
+                                Cc.LATITUDE | Cc.LONGITUDE)
+        ds = kinv.gen_inverse(g, pos["lat2"], pos["lon2"], pla, plo,
+                              Cc.DISTANCE)["s12"]
+        assert np.all(d_e <= ds + 1e-3)
+
+    # Spark operator end-to-end
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(40), "lat": pla, "lon": plo}))
+    got = rt.route_nearest_ellipsoidal(pts, lats, lons,
+                                       WGS84_A, WGS84_F).toPandas()
+    got = got.sort_values("pid")
+    assert np.allclose(got.route_dist_m.to_numpy(), d_e, rtol=0,
+                       atol=1e-6)
+    assert np.array_equal(got.seg.to_numpy(), seg)
