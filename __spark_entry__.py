@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": Q.events_sessionize,
         "events_value_percentiles": Q.events_value_percentiles,
         "part_type_pivot": Q.part_type_pivot,
+        "part_type_unpivot": Q.part_type_unpivot,
         # spatial kernels + joins (sphere variants SQL-oracled)
         "sphere_distance_buckets": Q.sphere_distance_buckets,
         "sphere_radius_join": Q.sphere_radius_join,

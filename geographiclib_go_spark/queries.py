@@ -326,6 +326,20 @@ def part_type_pivot(spark, sf_dir):
                  _dec_sum("p_retailprice").alias("total_price")))
 
 
+def part_type_unpivot(spark, sf_dir):
+    """Unpivot (melt) — the inverse of the pivot shape: the wide
+    per-brand size-class counts back to long (p_brand, size_class,
+    n) rows via stack()."""
+    wide = part_type_pivot(spark, sf_dir) \
+        .select("p_brand", "n_small", "n_large")
+    return (wide.select(
+        "p_brand",
+        F.expr("stack(2, 'small', n_small, 'large', n_large) "
+               "AS (size_class, n)"))
+        .select("p_brand", "size_class", "n")
+        .orderBy("p_brand", "size_class"))
+
+
 # --------------------------------------------------------------------------
 # Spatial (kernel-backed, sphere => SQL-oracled)
 # --------------------------------------------------------------------------
@@ -1368,6 +1382,20 @@ ORACLE_SQL["events_asof_view"] = """
     FROM clicks c ASOF LEFT JOIN views v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     ORDER BY c.event_id
+"""
+
+ORACLE_SQL["part_type_unpivot"] = """
+    WITH wide AS (
+      SELECT p_brand,
+             CAST(SUM(CASE WHEN p_size <= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_small,
+             CAST(SUM(CASE WHEN p_size > 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_large
+      FROM part GROUP BY p_brand)
+    SELECT p_brand, 'small' AS size_class, n_small AS n FROM wide
+    UNION ALL
+    SELECT p_brand, 'large', n_large FROM wide
+    ORDER BY p_brand, size_class
 """
 
 # composed cleaning pipeline: stats -> lang/quality gates -> exact
