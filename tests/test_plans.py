@@ -168,3 +168,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                                    check_names=False)
     # the planted equal-ts row did match
     assert got.r_rid.loc[0] == 1000
+
+
+def test_sessionize_matches_builtin_session_window(spark, sf_dir):
+    """The lag+running-sum sessionization must produce exactly the
+    sessions Spark's built-in session_window(gap) produces: same
+    session count per user, same per-session event counts."""
+    from geographiclib_go_spark import queries as Q
+
+    got = Q.events_sessionize(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (ev.groupBy("user_id",
+                       F.session_window("ts", "6 hours").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .toPandas())
+    g = got.groupby("user_id").agg(n_sessions=("session_seq", "max"),
+                                   total=("n_events", "sum"))
+    w = want.groupby("user_id").agg(n_sessions=("n_events", "size"),
+                                    total=("n_events", "sum"))
+    assert g.sort_index().equals(w.sort_index())
+    # per-session size multisets match too
+    for uid in g.index:
+        a = sorted(got[got.user_id == uid].n_events.tolist())
+        b = sorted(want[want.user_id == uid].n_events.tolist())
+        assert a == b, uid
