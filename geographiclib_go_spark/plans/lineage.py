@@ -145,9 +145,14 @@ def run_stage(spark: SparkSession, root: str, stage: str,
 
     cur = current_snapshot(root, stage)
     version = (cur["version"] + 1) if cur else 1
-    hist = snapshot_history(root, stage)
-    if hist:
-        version = max(version, hist[-1]["version"] + 1)
+    # allocate past EVERY existing snapshot directory, committed or
+    # orphaned (a crashed writer leaves a dir without commit.json;
+    # reusing its number would dirty-write into it)
+    snaps_dir = os.path.join(_stage_base(root, stage), "snapshots")
+    if os.path.isdir(snaps_dir):
+        for name in os.listdir(snaps_dir):
+            if name.startswith("v") and name[1:].isdigit():
+                version = max(version, int(name[1:]) + 1)
     snap = _snap_dir(root, stage, version)
 
     t0 = time.time()

@@ -192,3 +192,28 @@ def test_sessionize_matches_builtin_session_window(spark, sf_dir):
         a = sorted(got[got.user_id == uid].n_events.tolist())
         b = sorted(want[want.user_id == uid].n_events.tolist())
         assert a == b, uid
+
+
+def test_lineage_survives_crashed_partial_snapshot(spark):
+    """A crash after writing data but before commit.json/pointer swap
+    leaves an orphan snapshot dir; the stage must still read the last
+    committed version, resume correctly, and allocate a FRESH version
+    number past the orphan on the next write."""
+    import json as _json
+    with tempfile.TemporaryDirectory() as root:
+        lineage.run_stage(spark, root, "s", lambda: spark.range(100),
+                          input_fingerprint="fp1")
+        # simulate a crashed writer: orphan v2 with data, no commit
+        orphan = os.path.join(root, "s", "snapshots", "v00002", "data")
+        spark.range(7).write.parquet(orphan)
+        # reads and resume still follow the committed pointer (v1)
+        assert lineage.read_stage(spark, root, "s").count() == 100
+        assert lineage.stage_is_complete(root, "s", "fp1")
+        assert [m["version"]
+                for m in lineage.snapshot_history(root, "s")] == [1]
+        # next write: must not collide with the orphan dir -> v3+
+        lineage.run_stage(spark, root, "s", lambda: spark.range(200),
+                          input_fingerprint="fp2")
+        cur = lineage.current_snapshot(root, "s")
+        assert cur["version"] >= 3
+        assert lineage.read_stage(spark, root, "s").count() == 200
