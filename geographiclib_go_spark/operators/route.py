@@ -50,10 +50,17 @@ def route_frames(route_lats, route_lons):
     tiny, precomputed driver-side, shipped in the closure AND inlined
     into the SQL oracle so both engines use identical numbers."""
     v = _unit(route_lats, route_lons)
+    if v.shape[0] < 2:
+        raise ValueError("route needs at least 2 vertices")
     a = v[:-1]
     b = v[1:]
     n = np.cross(a, b)
     nn = np.linalg.norm(n, axis=1, keepdims=True)
+    if np.any(nn < 1e-12):
+        raise ValueError(
+            "degenerate route segment (repeated or antipodal "
+            "consecutive vertices) — drop duplicates / split "
+            "antipodal legs before building frames")
     nhat = n / nn
     e2 = np.cross(nhat, a)
     arc = np.arctan2(nn[:, 0], np.einsum("ij,ij->i", a, b))

@@ -450,3 +450,13 @@ def test_route_intercept_ellipsoidal(spark):
     assert np.allclose(got.route_dist_m.to_numpy(), d_e, rtol=0,
                        atol=1e-6)
     assert np.array_equal(got.seg.to_numpy(), seg)
+
+
+def test_route_frames_rejects_degenerate_segments():
+    from geographiclib_go_spark.operators import route as rt
+    with pytest.raises(ValueError, match="degenerate"):
+        rt.route_frames([10.0, 10.0, 20.0], [5.0, 5.0, 6.0])
+    with pytest.raises(ValueError, match="degenerate"):
+        rt.route_frames([10.0, -10.0], [5.0, -175.0])  # antipodal
+    with pytest.raises(ValueError, match="at least 2"):
+        rt.route_frames([10.0], [5.0])
