@@ -217,3 +217,18 @@ def test_lineage_survives_crashed_partial_snapshot(spark):
         cur = lineage.current_snapshot(root, "s")
         assert cur["version"] >= 3
         assert lineage.read_stage(spark, root, "s").count() == 200
+
+
+def test_asof_join_empty_right_side(spark):
+    """No right rows at all: every left row survives with nulls."""
+    import pandas as pd
+    from geographiclib_go_spark.operators import temporal as tp
+    base = pd.Timestamp("2026-01-01")
+    l_df = spark.createDataFrame(pd.DataFrame({
+        "lid": [1, 2], "key": [0, 1],
+        "ts": [base, base + pd.Timedelta(hours=1)]}))
+    r_df = spark.createDataFrame(
+        [], "rid long, key long, ts timestamp")
+    got = tp.asof_join(l_df, r_df, on="key", ts_col="ts",
+                       right_cols=["rid"], seq_col="rid").toPandas()
+    assert len(got) == 2 and got.r_rid.isna().all()
