@@ -22,7 +22,6 @@ Five dedup families, each scale-minded:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
