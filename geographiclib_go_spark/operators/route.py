@@ -19,9 +19,10 @@ route_distance query a SQL oracle):
   d(P, seg) = R*|xt|                  if 0 <= phi <= arc(a,b)
             = R*min(ang(p,a), ang(p,b)) otherwise (endpoint clamp)
 
-For the ellipsoid, the sphere pass is the prefilter (segment choice)
-and the exact Karney kernel refines via the geodesic INTERCEPT
-problem — vectorized ternary search along the frozen Line
+For the ellipsoid, the sphere pass is the prefilter (segment choice
++ foot-point seed) and the exact Karney kernel refines via the
+geodesic INTERCEPT problem — a safeguarded Newton iteration on the
+frozen Line using the reduced-length second variation
 (intercept_on_segments) — the same filter/refine pattern as the
 spatial joins.
 """
@@ -67,8 +68,12 @@ def route_frames(route_lats, route_lons):
     return a, b, nhat, e2, arc
 
 
-def segment_distances(lat, lon, frames, radius: float) -> np.ndarray:
-    """(n_points, n_segments) matrix of distances to each segment."""
+def segment_distances(lat, lon, frames, radius: float,
+                      return_foot: bool = False):
+    """(n_points, n_segments) matrix of distances to each segment.
+    With return_foot, also return the along-track foot angle phi
+    (n_points, n_segments) — the sphere estimate that seeds the
+    ellipsoidal Newton refine."""
     a, b, nhat, e2, arc = frames
     p = _unit(lat, lon)                              # (n, 3)
     sin_xt = np.clip(p @ nhat.T, -1.0, 1.0)          # (n, m)
@@ -81,7 +86,10 @@ def segment_distances(lat, lon, frames, radius: float) -> np.ndarray:
     d_a = np.arccos(np.clip(p @ a.T, -1.0, 1.0))
     d_b = np.arccos(np.clip(p @ b.T, -1.0, 1.0))
     d_end = np.minimum(d_a, d_b)
-    return radius * np.where(inside, d_line, d_end)
+    d = radius * np.where(inside, d_line, d_end)
+    if return_foot:
+        return d, phi
+    return d
 
 
 def route_distance_join(points: DataFrame, route_lats, route_lons,
@@ -137,21 +145,41 @@ def route_segment_sql(route_lats, route_lons) -> str:
 # --------------------------------------------------------------------------
 
 def intercept_on_segments(g, seg_lat1, seg_lon1, seg_lat2, seg_lon2,
-                          seg_idx, lat, lon, iters: int = 60):
+                          seg_idx, lat, lon, iters: int = 16,
+                          t0_frac=None):
     """Exact-geodesic closest approach: for each point i, the
     distance to the nearest point ON its assigned geodesic segment
-    seg_idx[i] (the geodesic INTERCEPT problem, solved by vectorized
-    ternary search over the frozen Line — distance along a geodesic
-    segment to an off-track point is unimodal inside the injectivity
-    radius, which the sphere prefilter guarantees for corridor-scale
-    queries).
+    seg_idx[i] — the geodesic INTERCEPT problem.
+
+    Solved by a safeguarded Newton iteration on the stationarity
+    condition of the distance from the moving point P(t) on the
+    frozen Line to the fixed point X:
+
+        s'(t)  = -cos(beta)                    (first variation)
+        s''(t) = sin^2(beta) * M12 / m12       (second variation)
+
+    where beta is the angle at P between the line's forward azimuth
+    and the geodesic P->X, and m12 / M12 are the reduced length and
+    geodesic scale of P->X that the inverse kernel computes anyway —
+    the Jacobi-field second variation (exact on the sphere, O(f)-
+    consistent on the ellipsoid, which Newton absorbs).  A bisection
+    bracket on the sign of s' safeguards every step (distance along
+    the segment is unimodal inside the injectivity radius, which the
+    sphere prefilter guarantees), and the sphere foot point seeds t.
+
+    Each iteration is 2 whole-batch kernel sweeps (direct position +
+    inverse with REDUCED_LENGTH|GEODESIC_SCALE) vs the previous
+    ternary search's 4 sweeps x 60 iterations — ~7x less kernel work
+    for a tighter answer (Newton is quadratic once bracketed; the
+    ternary interval shrank only by (2/3)^iters).  No per-point
+    Python anywhere.
 
     Returns (s_along, dist): meters from the segment start to the
-    foot point, and the exact geodesic distance.  All iterations are
-    whole-batch kernel calls — no per-point Python.
+    foot point, and the exact geodesic distance.
     """
     from geographiclib_go_spark.kernels import caps as C
     from geographiclib_go_spark.kernels import direct as kdir
+    from geographiclib_go_spark.kernels import geomath as gm
     from geographiclib_go_spark.kernels import inverse as kinv
 
     lat = np.asarray(lat, dtype=np.float64)
@@ -161,33 +189,78 @@ def intercept_on_segments(g, seg_lat1, seg_lon1, seg_lat2, seg_lon2,
     a2 = np.asarray(seg_lat2, dtype=np.float64)[seg_idx]
     o2 = np.asarray(seg_lon2, dtype=np.float64)[seg_idx]
 
-    from geographiclib_go_spark.kernels import geomath as gm
     base = kinv.gen_inverse(g, a1, o1, a2, o2,
                             C.DISTANCE | C.AZIMUTH)
     azi1 = gm.atan2d(base["salp1"], base["calp1"])
     line = kdir.line_init(g, a1, o1, azi1,
-                          C.LATITUDE | C.LONGITUDE | C.DISTANCE_IN,
+                          C.LATITUDE | C.LONGITUDE | C.AZIMUTH |
+                          C.DISTANCE_IN,
                           salp1=base["salp1"], calp1=base["calp1"])
     s13 = base["s12"]
 
-    def d_at(t):
+    def eval_g(t):
+        """(s', s'', s) at P(t): 2 kernel sweeps, whole batch."""
         pos = kdir.gen_position(g, line, False, t,
-                                C.LATITUDE | C.LONGITUDE)
-        return kinv.gen_inverse(g, pos["lat2"], pos["lon2"], lat, lon,
-                                C.DISTANCE)["s12"]
+                                C.LATITUDE | C.LONGITUDE | C.AZIMUTH)
+        inv = kinv.gen_inverse(g, pos["lat2"], pos["lon2"], lat, lon,
+                               C.DISTANCE | C.REDUCED_LENGTH |
+                               C.GEODESIC_SCALE)
+        beta = np.radians(gm.atan2d(inv["salp1"], inv["calp1"]) -
+                          pos["azi2"])
+        cb, sb = np.cos(beta), np.sin(beta)
+        d1 = -cb
+        d2 = sb * sb * inv["M12"] / np.maximum(np.abs(inv["m12"]),
+                                               gm.TINY)
+        return d1, d2, inv["s12"]
 
-    lo_t = np.zeros_like(s13)
-    hi_t = s13.copy()
+    zero = np.zeros_like(s13)
+    g_lo, _, d_lo = eval_g(zero)
+    g_hi, _, d_hi = eval_g(s13)
+    # The segment arc is < pi (inverse picks the shorter geodesic and
+    # route_frames rejects antipodal vertices), so the circle-distance
+    # function d(t) has AT MOST ONE critical point on the segment —
+    # the closest-approach foot (min) or its antipode (max), which
+    # are pi apart.  Classify by the endpoint derivative signs:
+    #   (-,+) fall-rise: interior minimum -> Newton;
+    #   (+,+) monotone increasing       -> foot at the start;
+    #   (-,-) monotone decreasing       -> foot at the end;
+    #   (+,-) rise-fall, interior MAX   -> min at the nearer endpoint.
+    interior = (g_lo < 0.0) & (g_hi > 0.0)
+    rise_fall = (g_lo >= 0.0) & (g_hi <= 0.0)
+    start_better = np.where(rise_fall, d_lo <= d_hi, g_lo >= 0.0)
+    at_start = ~interior & start_better
+    at_end = ~interior & ~start_better
+
+    lo_t, hi_t = zero.copy(), s13.copy()
+    if t0_frac is None:
+        t = 0.5 * (lo_t + hi_t)
+    else:
+        t = np.clip(np.asarray(t0_frac, np.float64), 0.0, 1.0) * s13
+    conv = ~interior  # endpoint rows are already done
     for _ in range(iters):
-        m1 = lo_t + (hi_t - lo_t) / 3.0
-        m2 = hi_t - (hi_t - lo_t) / 3.0
-        d1 = d_at(m1)
-        d2 = d_at(m2)
-        take_left = d1 <= d2
-        hi_t = np.where(take_left, m2, hi_t)
-        lo_t = np.where(take_left, lo_t, m1)
-    t_best = 0.5 * (lo_t + hi_t)
-    return t_best, d_at(t_best)
+        gv, gp, _ = eval_g(t)
+        neg = gv < 0.0
+        lo_t = np.where(interior & neg & ~conv, t, lo_t)
+        hi_t = np.where(interior & ~neg & ~conv, t, hi_t)
+        step = gv / np.where(gp > gm.TINY, gp, np.inf)
+        # A sub-micrometer Newton step means converged; freeze the
+        # row (otherwise tn rounds onto the bracket boundary and the
+        # open-interval test would discard the answer for a bisection
+        # midpoint).
+        conv = conv | (interior & np.isfinite(step) &
+                       (np.abs(step) < 1e-6))
+        tn = t - step
+        ok = np.isfinite(tn) & (tn > lo_t) & (tn < hi_t)
+        t = np.where(conv, t, np.where(ok, tn, 0.5 * (lo_t + hi_t)))
+        if np.all(conv):
+            break
+    t_best = np.where(at_start, 0.0, np.where(at_end, s13, t))
+    pos = kdir.gen_position(g, line, False, t_best,
+                            C.LATITUDE | C.LONGITUDE)
+    d_best = kinv.gen_inverse(g, pos["lat2"], pos["lon2"], lat, lon,
+                              C.DISTANCE)["s12"]
+    d_best = np.where(at_start, d_lo, np.where(at_end, d_hi, d_best))
+    return t_best, d_best
 
 
 def route_nearest_ellipsoidal(points: DataFrame, route_lats, route_lons,
@@ -216,10 +289,15 @@ def route_nearest_ellipsoidal(points: DataFrame, route_lats, route_lons,
     def nearest(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
-        d = segment_distances(la, lo, frames, g.a)
+        d, phi = segment_distances(la, lo, frames, g.a,
+                                   return_foot=True)
         seg = d.argmin(axis=1).astype(np.int64)
+        arc = frames[4]
+        frac = np.clip(phi[np.arange(len(seg)), seg] / arc[seg],
+                       0.0, 1.0)
         t, dist = intercept_on_segments(
-            g, rla[:-1], rlo[:-1], rla[1:], rlo[1:], seg, la, lo)
+            g, rla[:-1], rlo[:-1], rla[1:], rlo[1:], seg, la, lo,
+            t0_frac=frac)
         return pd.DataFrame({"seg": seg.astype(np.int32),
                              "s_along": t, "route_dist_m": dist})
 

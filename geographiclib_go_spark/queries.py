@@ -492,11 +492,13 @@ def route_distance(spark, sf_dir):
 
 def ellip_route_nearest(spark, sf_dir):
     """WGS84 route proximity — the TRUE geodesic intercept (sphere
-    prefilter picks the segment, vectorized ternary search on the
-    frozen Line refines; operators/route.py).  No SQL oracle (DuckDB
-    cannot express the Karney kernel); exactness is pytest-gated
-    (sphere-reduction equality + sampled-minimum domination in
-    tests/test_spatial_spark.py)."""
+    prefilter picks the segment and seeds the foot point, safeguarded
+    Newton on the frozen Line refines via the reduced-length second
+    variation; operators/route.py).  Exactness is pytest-gated
+    (sphere-reduction to machine precision + sampled-minimum
+    domination in tests/test_spatial_spark.py) AND hash-checked by
+    the driver against a kernel-precomputed fixture parquet
+    (scripts/build_fixtures.py)."""
     from geographiclib_go_spark.operators import route as rt
     from geographiclib_go_spark.kernels.geodesic import WGS84_A, WGS84_F
     pts = _customer_points(spark, sf_dir)
@@ -885,16 +887,35 @@ def emb_near_dup_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+# Seed vec_ids whose (normalized) embeddings are the IVF centroids —
+# fixed rows of the table itself, so DuckDB recomputes the identical
+# centroid set and verifies the whole IVF plan (corpus bucket
+# assignment, nprobe probing, in-bucket brute-force top-k) end to end.
+_IVF_SEEDS = (13, 76, 139, 202, 265, 328, 391, 454)
+
+
 def emb_ivf_topk(spark, sf_dir):
-    """IVF approximate ANN (no SQL oracle; recall vs brute force is
-    asserted in tests/test_similarity.py)."""
+    """IVF approximate ANN with seed-row centroids: centroid c is the
+    normalized embedding of the c-th seed vec_id (sorted), so the
+    oracle SQL re-derives centroids from the same parquet and checks
+    bucket assignment + nprobe + top-k hash-exactly.  The k-means
+    training path (`train_centroids`) stays available for general use
+    and is recall-gated in tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>")
         .alias("embedding"))
+    # 8-row collect behind a pushed-down IN filter: bounded planning
+    # probe, independent of corpus size.
+    seeds = (emb.filter(F.col("vec_id").isin(list(_IVF_SEEDS)))
+             .orderBy("vec_id").collect())
+    cent = np.array([r.embedding for r in seeds], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     queries = emb.filter(F.col("vec_id") < 10) \
                  .withColumnRenamed("vec_id", "qid")
-    got = sim.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
-    return got.select("qid", "rank", "vec_id").orderBy("qid", "rank")
+    got = sim.ivf_topk(emb, queries, k=5, nprobe=3, centroids=cent)
+    return (got.select("qid", "vec_id",
+                       F.round(F.col("cosine"), 5).alias("cos5"))
+            .orderBy("qid", "vec_id"))
 
 
 # --------------------------------------------------------------------------
@@ -1737,3 +1758,46 @@ ORACLE_SQL["emb_near_dup_pairs"] = """
       AND list_cosine_similarity(a.v, b.v) >= 0.95
     ORDER BY id_a, id_b
 """
+
+# IVF with seed-row centroids: DuckDB re-derives the centroid table
+# from the same parquet rows and replays the full IVF plan — corpus
+# assigned to its argmax-cosine centroid, each query probing its
+# nprobe=3 nearest centroids, brute-force top-5 within probed buckets.
+ORACLE_SQL["emb_ivf_topk"] = """
+    WITH cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+        WHERE vec_id IN ({seeds})
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+          FROM embeddings),
+    cassign AS (
+        SELECT c.vec_id, c.ev, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.ev, cent.cv) DESC,
+                            cent.cid ASC) AS rnk
+        FROM c, cent
+    ),
+    corpus AS (SELECT vec_id, ev, cid FROM cassign WHERE rnk = 1),
+    q AS (SELECT vec_id AS qid, ev AS qv FROM c WHERE vec_id < 10),
+    qprobe AS (
+        SELECT q.qid, q.qv, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                            cent.cid ASC) AS rnk
+        FROM q, cent
+    ),
+    probes AS (SELECT qid, qv, cid FROM qprobe WHERE rnk <= 3),
+    s AS (
+        SELECT p.qid, o.vec_id,
+               list_cosine_similarity(p.qv, o.ev) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                   ORDER BY list_cosine_similarity(p.qv, o.ev) DESC,
+                            o.vec_id ASC) AS rank
+        FROM probes p JOIN corpus o ON p.cid = o.cid
+    )
+    SELECT qid, vec_id, ROUND(cosine, 5) AS cos5
+    FROM s WHERE rank <= 5
+    ORDER BY qid, vec_id
+""".format(seeds=", ".join(str(s) for s in _IVF_SEEDS))

@@ -420,7 +420,9 @@ def test_route_intercept_ellipsoidal(spark):
     _t, d_ref = rt.intercept_on_segments(
         gs, np.array(lats[:-1]), np.array(lons[:-1]),
         np.array(lats[1:]), np.array(lons[1:]), seg, pla, plo)
-    assert np.allclose(d_ref, d_closed.min(axis=1), rtol=0, atol=0.5)
+    # Newton converges to machine precision (the old ternary search
+    # only guaranteed 0.5 m here)
+    assert np.allclose(d_ref, d_closed.min(axis=1), rtol=0, atol=1e-6)
 
     # WGS84: the intercept is <= any sampled point on the segment
     g = wgs84_model()
@@ -450,6 +452,34 @@ def test_route_intercept_ellipsoidal(spark):
     assert np.allclose(got.route_dist_m.to_numpy(), d_e, rtol=0,
                        atol=1e-6)
     assert np.array_equal(got.seg.to_numpy(), seg)
+
+
+def test_route_intercept_global_sweep():
+    """Newton intercept vs the closed-form sphere kernel over 5000
+    points spread across the whole globe — exercises every endpoint-
+    derivative sign pattern, in particular rise-fall segments (the
+    interior-MAX case, where the minimum sits at the far endpoint and
+    a naive 'derivative >= 0 at start => foot at start' rule returns
+    a point ~9000 km wrong)."""
+    from geographiclib_go_spark.operators import route as rt
+    from geographiclib_go_spark.kernels.geodesic import GeodesicModel
+    R = 6371000.0
+    lats, lons = [10.0, 52.0, 36.0], [-70.0, 0.0, 140.0]
+    rng = np.random.default_rng(17)
+    pla = rng.uniform(-89, 89, 5000)
+    plo = rng.uniform(-180, 180, 5000)
+    gs = GeodesicModel(R, 0.0)
+    frames = rt.route_frames(lats, lons)
+    d, phi = rt.segment_distances(pla, plo, frames, R, return_foot=True)
+    seg = d.argmin(axis=1)
+    arc = frames[4]
+    frac = np.clip(phi[np.arange(len(seg)), seg] / arc[seg], 0.0, 1.0)
+    _t, d_ref = rt.intercept_on_segments(
+        gs, np.array(lats[:-1]), np.array(lons[:-1]),
+        np.array(lats[1:]), np.array(lons[1:]), seg, pla, plo,
+        t0_frac=frac)
+    err = np.abs(d_ref - d.min(axis=1))
+    assert err.max() < 1e-6
 
 
 def test_route_frames_rejects_degenerate_segments():
