@@ -2,11 +2,14 @@
 
 entry(spark)  — flagship spatial pipeline on sf0.001.
 queries()     — one callable per implemented operator (SURVEY.md §2).
-oracle_sql()  — matching DuckDB SQL for every SQL-expressible query;
-                kernel-only / LSH / ANN entries are rows-only checked
-                (their exactness is gated by the pytest suites:
-                GeodTest-style kernel conformance, brute-force join
-                oracles, LSH recall assertions).
+oracle_sql()  — matching DuckDB SQL for EVERY query (51/51): the
+                sphere/relational/sketch paths are recomputed by
+                DuckDB directly; the WGS84 kernel paths hash against
+                kernel-precomputed fixture parquet
+                (scripts/build_fixtures.py); IVF re-derives its
+                seed-row centroids from the data.  Exactness is
+                additionally pytest-gated (GeodTest-style kernel
+                conformance, brute-force join oracles, LSH recall).
 """
 
 from __future__ import annotations

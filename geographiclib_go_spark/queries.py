@@ -13,12 +13,15 @@ comparison exact:
 - every computed column is aliased identically here and in the SQL;
 - sphere-kernel queries run the full Karney machinery with f=0, which
   reduces exactly to great-circle — giving DuckDB a closed-form
-  oracle for the kernel + join plumbing.  The ellipsoidal paths are
-  oracled by the pytest GeodTest-style suites instead (DuckDB cannot
-  express them); the driver records rows-only checks for those.
+  oracle for the kernel + join plumbing.  The ellipsoidal paths hash
+  against kernel-precomputed fixture parquet instead
+  (scripts/build_fixtures.py) — DuckDB cannot express Karney — and
+  are additionally oracled by the pytest GeodTest-style suites.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -550,8 +553,12 @@ def raster_coverage(spark, sf_dir):
 
 
 def ellip_nearest_landmark(spark, sf_dir):
-    """WGS84 ellipsoidal kNN (k=1) — the true geodesic, no SQL oracle
-    (kernel conformance is gated by the pytest GeodTest suites)."""
+    """WGS84 ellipsoidal kNN (k=1) — the true geodesic.  Driver
+    hash-checked against an EXHAUSTIVE fixture oracle: MIN over the
+    precomputed point->landmark kernel distances
+    (scripts/build_fixtures.py), fully independent of the ring-kNN
+    search it verifies; kernel conformance is additionally gated by
+    the pytest GeodTest suites."""
     pts = _customer_points(spark, sf_dir)
     lm = _landmarks_df(spark)
     got = sj.knn_join(pts, lm, k=1, res=3)
@@ -1801,3 +1808,39 @@ ORACLE_SQL["emb_ivf_topk"] = """
     FROM s WHERE rank <= 5
     ORDER BY qid, vec_id
 """.format(seeds=", ".join(str(s) for s in _IVF_SEEDS))
+
+# --------------------------------------------------------------------------
+# WGS84 fixture oracles: DuckDB cannot express the Karney kernel, so
+# scripts/build_fixtures.py precomputes the pure-numpy kernel result
+# for EVERY possible customer point (the point is a closed-form
+# function of c_custkey alone) into committed parquet; the oracle
+# joins the sf's actual customer table against it.  This closes the
+# two rows-only gaps from CORRECTNESS_r02 (VERDICT r2 item 3).
+# --------------------------------------------------------------------------
+
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "fixtures")
+
+# Exhaustive nearest-customer-per-landmark: MIN over the sf's
+# customers of the precomputed point->landmark WGS84 distances —
+# independent of the ring-kNN search logic it verifies.
+ORACLE_SQL["ellip_nearest_landmark"] = """
+    SELECT f.qid AS q_qid,
+           CAST(1 AS BIGINT) AS n,
+           ROUND(MIN(f.dist_m), 3) AS nearest_m
+    FROM customer c
+    JOIN '{fix}/ellip_point_landmark_dist.parquet' f
+      ON f.c_custkey = c.c_custkey
+    GROUP BY f.qid
+    ORDER BY q_qid
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["ellip_route_nearest"] = """
+    SELECT c.c_custkey, f.seg,
+           ROUND(f.s_along, 2) AS s_along_r,
+           ROUND(f.dist_m, 2) AS dist_r
+    FROM customer c
+    JOIN '{fix}/ellip_route_nearest.parquet' f
+      ON f.c_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+""".format(fix=_FIXTURE_DIR)

@@ -1,0 +1,127 @@
+"""Precompute kernel-exact fixture parquet for the ellipsoidal
+queries DuckDB cannot express (VERDICT r2 item 3).
+
+DuckDB has no Karney kernel, so the driver's hash gate for the WGS84
+queries is closed differently: this script runs the pure-numpy
+kernels (no Spark) over EVERY customer point that can occur at any
+test scale factor (c_custkey 0..14999 covers sf <= 0.1; the point is
+a closed-form function of c_custkey only, queries._customer_points)
+and writes the results to parquet committed in
+geographiclib_go_spark/fixtures/.  The oracle SQL joins the sf's
+actual customer table against the fixture, so the driver hash-checks
+the distributed Spark plan against the kernel at any sf.
+
+Fixtures:
+
+- ellip_point_landmark_dist.parquet (c_custkey, qid, dist_m):
+  exhaustive WGS84 inverse distance from every customer point to
+  each of the 12 landmarks.  The oracle takes MIN over the sf's
+  customers per landmark — an EXHAUSTIVE nearest oracle that is
+  INDEPENDENT of the ring-kNN search logic it checks.
+
+- ellip_route_nearest.parquet (c_custkey, seg, s_along_r, dist_r):
+  the geodesic-intercept route proximity for every customer point,
+  computed by the same sphere-prefilter + Newton-refine kernels the
+  Spark operator ships (per-row results are batch-independent, so
+  driver-side numpy and executor-side Arrow agree bitwise).
+
+Determinism: everything derives from c_custkey and the fixed
+LANDMARKS / route constants; re-running reproduces the files
+byte-for-byte (pyarrow stores raw float64).
+
+Usage: python scripts/build_fixtures.py [max_custkey_exclusive]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geographiclib_go_spark import queries as Q  # noqa: E402
+from geographiclib_go_spark.kernels import caps as C  # noqa: E402
+from geographiclib_go_spark.kernels import inverse as kinv  # noqa: E402
+from geographiclib_go_spark.kernels.geodesic import (  # noqa: E402
+    WGS84_A, WGS84_F, wgs84_model)
+from geographiclib_go_spark.operators import route as rt  # noqa: E402
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "geographiclib_go_spark", "fixtures")
+
+
+def customer_points(n: int):
+    ck = np.arange(n, dtype=np.int64)
+    lat = ((ck * 9973) % 17000) / 100.0 - 85.0
+    lon = ((ck * 7919) % 36000) / 100.0 - 180.0
+    return ck, lat, lon
+
+
+def build_landmark_dist(n: int, out_dir: str = None) -> str:
+    ck, lat, lon = customer_points(n)
+    g = wgs84_model()
+    cks, qids, dists = [], [], []
+    for qid, qlat, qlon in Q.LANDMARKS:
+        d = kinv.gen_inverse(g, lat, lon,
+                             np.full(n, float(qlat)),
+                             np.full(n, float(qlon)),
+                             C.DISTANCE)["s12"]
+        cks.append(ck)
+        qids.append(np.full(n, qid, dtype=np.int64))
+        dists.append(d)
+    tbl = pa.table({
+        "c_custkey": np.concatenate(cks),
+        "qid": np.concatenate(qids),
+        "dist_m": np.concatenate(dists),
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "ellip_point_landmark_dist.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def build_route_nearest(n: int, out_dir: str = None) -> str:
+    ck, lat, lon = customer_points(n)
+    rla = np.asarray(Q._ROUTE_LATS, dtype=np.float64)
+    rlo = np.asarray(Q._ROUTE_LONS, dtype=np.float64)
+    g = wgs84_model()
+    frames = rt.route_frames(rla, rlo)
+    d, phi = rt.segment_distances(lat, lon, frames, g.a,
+                                  return_foot=True)
+    seg = d.argmin(axis=1).astype(np.int64)
+    arc = frames[4]
+    frac = np.clip(phi[np.arange(n), seg] / arc[seg], 0.0, 1.0)
+    t, dist = rt.intercept_on_segments(
+        g, rla[:-1], rlo[:-1], rla[1:], rlo[1:], seg, lat, lon,
+        t0_frac=frac)
+    # raw doubles — the oracle SQL applies the same ROUND as the
+    # Spark query, keeping rounding semantics engine-side on both
+    # paths (np.round is half-to-even, Spark round is half-up)
+    tbl = pa.table({
+        "c_custkey": ck,
+        "seg": seg.astype(np.int32),
+        "s_along": t,
+        "dist_m": dist,
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "ellip_route_nearest.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 15000
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    p1 = build_landmark_dist(n)
+    print("wrote", p1)
+    p2 = build_route_nearest(n)
+    print("wrote", p2)
+
+
+if __name__ == "__main__":
+    main()

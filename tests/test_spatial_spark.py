@@ -490,3 +490,41 @@ def test_route_frames_rejects_degenerate_segments():
         rt.route_frames([10.0, -10.0], [5.0, -175.0])  # antipodal
     with pytest.raises(ValueError, match="at least 2"):
         rt.route_frames([10.0], [5.0])
+
+
+def test_ellip_fixture_parquet_fresh(tmp_path):
+    """The committed WGS84 fixture parquet (the driver's hash oracle
+    for the two ellipsoidal queries) must equal a fresh kernel
+    recompute — guards against editing route/inverse kernels without
+    re-running scripts/build_fixtures.py."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+    _spec = importlib.util.spec_from_file_location(
+        "build_fixtures", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "build_fixtures.py"))
+    bf = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(bf)
+    n = 1500  # sf0.01 coverage is what the driver gate exercises
+    fresh_lm = pq.read_table(
+        bf.build_landmark_dist(n, out_dir=str(tmp_path))).to_pandas()
+    fresh_rt = pq.read_table(
+        bf.build_route_nearest(n, out_dir=str(tmp_path))).to_pandas()
+    com_lm = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "ellip_point_landmark_dist.parquet")).to_pandas()
+    com_rt = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "ellip_route_nearest.parquet")).to_pandas()
+    com_lm = com_lm[com_lm.c_custkey < n].sort_values(
+        ["c_custkey", "qid"]).reset_index(drop=True)
+    fresh_lm = fresh_lm.sort_values(
+        ["c_custkey", "qid"]).reset_index(drop=True)
+    assert np.array_equal(fresh_lm.dist_m.to_numpy(),
+                          com_lm.dist_m.to_numpy())
+    com_rt = com_rt[com_rt.c_custkey < n].reset_index(drop=True)
+    assert np.array_equal(fresh_rt.seg.to_numpy(), com_rt.seg.to_numpy())
+    assert np.array_equal(fresh_rt.s_along.to_numpy(),
+                          com_rt.s_along.to_numpy())
+    assert np.array_equal(fresh_rt.dist_m.to_numpy(),
+                          com_rt.dist_m.to_numpy())
