@@ -232,3 +232,25 @@ def test_asof_join_empty_right_side(spark):
     got = tp.asof_join(l_df, r_df, on="key", ts_col="ts",
                        right_cols=["rid"], seq_col="rid").toPandas()
     assert len(got) == 2 and got.r_rid.isna().all()
+
+
+def test_row_count_estimate_reads_footers_not_data(spark, sf_dir):
+    """knn_join's ring planner must never scan the fact table to pick
+    a resolution: for a parquet-backed points side the row count comes
+    from file footers DRIVER-SIDE — zero Spark jobs (VERDICT r2 item
+    4).  Derived plans fall back to a bounded short-circuit probe."""
+    sc = spark.sparkContext
+    li = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sc.setJobGroup("footer-probe", "must not launch jobs")
+    n, exact = sj._estimate_row_count(li)
+    sc.setJobGroup(None, None)
+    assert exact and n == li.count()
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+        "footer-probe")
+    assert list(jobs) == [], jobs
+    # projection keeps the footer path; a filter must NOT
+    proj_n, proj_exact = sj._estimate_row_count(li.select("c_custkey"))
+    assert proj_exact and proj_n == n
+    f_n, f_exact = sj._estimate_row_count(
+        li.filter(F.col("c_custkey") < 10))
+    assert f_exact and f_n == 10  # bounded probe, exact when small

@@ -329,11 +329,15 @@ def test_knn_ring_large_query_side(spark):
 
 def test_knn_rejects_duplicate_query_ids(spark, points_df, queries_pdf):
     """kNN output is keyed on qid, so duplicate ids are a semantic
-    error in every strategy (ADVICE r1)."""
+    error in every strategy (ADVICE r1).  The ring path validates
+    INSIDE the plan (a per-qid window count + distributed assert — no
+    standalone planning job, VERDICT r2 item 4), so its error surfaces
+    on action rather than at call time."""
     qdup = pd.concat([queries_pdf.head(6)] * 2, ignore_index=True)
     qdf = spark.createDataFrame(qdup)
-    with pytest.raises(ValueError, match="unique"):
-        sj.knn_join(points_df, qdf, k=2, res=4, strategy="ring")
+    with pytest.raises(Exception, match="unique"):
+        sj.knn_join(points_df, qdf, k=2, res=4,
+                    strategy="ring").collect()
     with pytest.raises(ValueError, match="unique"):
         sj.knn_join(points_df, qdf, k=2, strategy="scan_topk")
 
@@ -528,3 +532,32 @@ def test_ellip_fixture_parquet_fresh(tmp_path):
                           com_rt.s_along.to_numpy())
     assert np.array_equal(fresh_rt.dist_m.to_numpy(),
                           com_rt.dist_m.to_numpy())
+
+
+def test_cap_covers_by_cell_dedup_and_superset(monkeypatch):
+    """The cover path computes ONE cap_cover per unique base cell
+    (Python cost ~ distinct cells, not rows), and every per-cell
+    cover is a superset of the per-point cover it replaces — so the
+    exact refine sees at least the same candidates."""
+    from geographiclib_go_spark.operators import cells as kc
+    from geographiclib_go_spark.operators import spatial_join as sjm
+    calls = {"n": 0}
+    orig = kc.cap_cover
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kc, "cap_cover", counting)
+    rng = np.random.default_rng(23)
+    la = rng.uniform(10.0, 11.0, 5000)
+    lo = rng.uniform(20.0, 21.0, 5000)
+    res, rad = sjm.plan_radius(100e3)
+    covers = sjm.cap_covers_by_cell(la, lo, res, rad)
+    n_cells = len(np.unique(kc.cell_from_latlon(la, lo, res)))
+    assert calls["n"] == n_cells
+    assert n_cells < len(la) / 10  # clustered: real dedup happened
+    for i in rng.choice(len(la), 40, replace=False):
+        per_point = set(orig(float(la[i]), float(lo[i]), res,
+                             rad).tolist())
+        assert per_point <= set(covers[i])
