@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hll_distinct": Q.doc_hll_distinct,
         "doc_minhash_pairs": Q.doc_minhash_pairs,
         "doc_simhash_pairs": Q.doc_simhash_pairs,
+        "doc_simhash_pairs_h3": Q.doc_simhash_pairs_h3,
         "doc_fingerprints": Q.doc_fingerprints,
         # multimodal: audio/video decode + features (real raw codecs)
         "audio_features": Q.audio_features,

@@ -431,7 +431,7 @@ def simhash_pairs_oracle_sql(max_hamming: int = 8,
     return f"""
 WITH {_token_hash_ctes(bits)},
 bitparams(j, u, v, w) AS (VALUES {bit_values}),
-bits AS (
+tokbits AS (
   SELECT tc.doc_id, bp.j,
          CASE WHEN SUM(tc.cnt * (2 * (((bp.u * th.h1) % {P1}
                 + (bp.v * th.h2) % {P1} + bp.w) % {P1} % 2) - 1)) > 0
@@ -440,6 +440,17 @@ bits AS (
   JOIN th ON th.tok = tc.tok
   CROSS JOIN bitparams bp
   GROUP BY tc.doc_id, bp.j
+),
+-- token-less documents carry the all-zero signature in the kernel
+-- (simhash_batch: no votes -> every bit 0), so they must join and
+-- pair with hamming 0; without this sentinel the oracle would drop
+-- them (ADVICE r2)
+bits AS (
+  SELECT * FROM tokbits
+  UNION ALL
+  SELECT d.doc_id, bp.j, 0 AS bit
+  FROM documents d CROSS JOIN bitparams bp
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM tok_counts)
 ),
 chunkvals AS (
   SELECT doc_id, j // {width} AS chunk,

@@ -759,9 +759,23 @@ def doc_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (chunk-band join + exact popcount).
     SQL-oracled: per-bit token votes, chunk values, candidates, and
     the Hamming filter are recomputed in DuckDB
-    (sketch_hash.simhash_pairs_oracle_sql)."""
+    (sketch_hash.simhash_pairs_oracle_sql).  max_hamming=8 is the
+    recall-heavy DEMO regime (7-bit chunks, 128 buckets); the scale
+    path is doc_simhash_pairs_h3."""
     docs = _t_spread(spark, sf_dir, "documents")
     return ded.simhash_near_dups(docs, max_hamming=8).orderBy(
+        "id_a", "id_b")
+
+
+def doc_simhash_pairs_h3(spark, sf_dir):
+    """SimHash near-dup pairs in the SCALE regime (VERDICT r2 item
+    5): max_hamming=3 -> 4 chunks x 16 bits -> 65 536 buckets per
+    chunk, the bucket space the module's scale note requires beyond
+    ~10^6 docs (dedup.py).  Same chunk-band plan, same SQL oracle
+    builder — the driver hash-checks the regime a 100 TB corpus would
+    actually run."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return ded.simhash_near_dups(docs, max_hamming=3).orderBy(
         "id_a", "id_b")
 
 
@@ -1399,6 +1413,8 @@ ORACLE_SQL["doc_minhash_pairs"] = _sk.minhash_pairs_oracle_sql(
     num_hashes=64, bands=8, shingle=5, threshold=0.8)
 ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
     max_hamming=8)
+ORACLE_SQL["doc_simhash_pairs_h3"] = _sk.simhash_pairs_oracle_sql(
+    max_hamming=3)
 ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
 
 ORACLE_SQL["events_asof_view"] = """

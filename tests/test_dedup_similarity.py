@@ -185,3 +185,27 @@ def test_hll_accuracy_and_mergeability(spark):
     # duplicates do not move the sketch at all
     dup = hll.hll_registers(df.unionByName(df), "text", ["grp"])
     assert sorted(map(tuple, dup.collect())) == ff
+
+
+def test_simhash_tokenless_docs_pair_in_both_engines(spark):
+    """Token-less documents get the all-zero SimHash in the kernel,
+    so two of them must pair with hamming 0 — and the SQL oracle must
+    agree (it UNIONs an all-zero signature sentinel for documents
+    with no tokens; ADVICE r2: without it the oracle silently dropped
+    them while Spark paired them)."""
+    import duckdb
+    from geographiclib_go_spark.operators import sketch_hash as sk
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["", "   \t  ", "spark shuffle join", "spark shuffle join"],
+    })
+    docs = spark.createDataFrame(pdf)
+    got = ded.simhash_near_dups(docs, max_hamming=3).toPandas()
+    got_pairs = sorted(zip(got.id_a, got.id_b, got.hamming))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(sk.simhash_pairs_oracle_sql(max_hamming=3)).df()
+    want_pairs = sorted(zip(want.id_a, want.id_b, want.hamming))
+    assert got_pairs == want_pairs
+    assert (0, 1, 0) in got_pairs  # the two token-less docs pair
+    assert (2, 3, 0) in got_pairs
