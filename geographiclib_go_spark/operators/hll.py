@@ -34,7 +34,12 @@ from pyspark.sql.functions import pandas_udf
 
 from geographiclib_go_spark.operators import sketch_hash as sk
 
-RHO_EMPTY_REST = 56   # rho when hw // m == 0 (all 56 remaining bits 0)
+# rho when hw >> p == 0: the hash rest is 56 bits wide (62-bit hash,
+# p=6), and the standard HLL convention is rho(0) = w + 1 = 57 —
+# distinct from rho=56 (55 trailing zeros), avoiding a tiny estimator
+# bias at extreme cardinalities (ADVICE r2).  Keep in sync with the
+# inline 57 in the queries.py SQL oracles.
+RHO_EMPTY_REST = 57
 
 
 def _alpha(m: int) -> float:

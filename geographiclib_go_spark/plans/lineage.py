@@ -203,13 +203,36 @@ def rollback_stage(root: str, stage: str, version: int) -> dict:
 
 
 def expire_snapshots(root: str, stage: str, keep: int = 2) -> list:
-    """Delete all but the newest `keep` snapshots — never the current
-    one.  Returns the expired version numbers."""
+    """Delete all but the newest `keep` COMMITTED snapshots — never
+    the current one — plus every ORPHANED snapshot directory (no
+    commit.json: a crashed writer's leftovers) older than the oldest
+    retained committed version.  Orphans are never readable, so
+    without this they would leak disk forever (ADVICE r2).  Returns
+    the expired version numbers.
+
+    Single-writer assumption: version allocation scans directory
+    names without any lock, so at most one writer may run a given
+    stage at a time (concurrent writers could allocate the same
+    version and overwrite each other).  Serialize writers per stage —
+    e.g. one orchestrator owns each stage, the normal Spark-pipeline
+    shape; readers are unaffected (the pointer swap is atomic)."""
     cur = current_snapshot(root, stage)
     cur_v = cur["version"] if cur else None
     hist = snapshot_history(root, stage)
     old = hist[:-keep] if keep > 0 else hist
     victims = [m["version"] for m in old]
+    committed = {m["version"] for m in hist}
+    keep_floor = min([m["version"] for m in hist[len(old):]],
+                     default=None)
+    snaps_dir = os.path.join(_stage_base(root, stage), "snapshots")
+    if os.path.isdir(snaps_dir):
+        for name in os.listdir(snaps_dir):
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            v = int(name[1:])
+            if (v not in committed
+                    and (keep_floor is None or v < keep_floor)):
+                victims.append(v)
     expired = []
     for v in victims:
         if v == cur_v:

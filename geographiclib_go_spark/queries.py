@@ -1713,7 +1713,7 @@ hj AS (
 ),
 regs AS (
   SELECT source, hw % 64 AS bucket,
-         CAST(MAX(CASE WHEN hw // 64 = 0 THEN 56
+         CAST(MAX(CASE WHEN hw // 64 = 0 THEN 57
                        ELSE bit_count(xor(hw // 64, hw // 64 - 1))
                   END) AS BIGINT) AS max_rho
   FROM hj GROUP BY source, bucket
@@ -1736,7 +1736,7 @@ ORACLE_SQL["doc_hll_distinct"] = f"""
     ),
     regs AS (
       SELECT scope, hw % 64 AS bucket,
-             MAX(CASE WHEN hw // 64 = 0 THEN 56
+             MAX(CASE WHEN hw // 64 = 0 THEN 57
                       ELSE bit_count(xor(hw // 64, hw // 64 - 1))
                  END) AS max_rho
       FROM scoped GROUP BY scope, bucket

@@ -254,3 +254,65 @@ def test_row_count_estimate_reads_footers_not_data(spark, sf_dir):
     f_n, f_exact = sj._estimate_row_count(
         li.filter(F.col("c_custkey") < 10))
     assert f_exact and f_n == 10  # bounded probe, exact when small
+
+
+def test_asof_join_null_payload_row_consistent(spark):
+    """When a payload column is NULL on the true as-of match, the
+    operator must return that NULL — not substitute the value from an
+    older right row — and all carried columns must come from the SAME
+    right row (ADVICE r2: per-column last-ignorenulls stitched rows;
+    the struct-packed fill cannot)."""
+    import pandas as pd
+    from geographiclib_go_spark.operators import temporal as tp
+    base = pd.Timestamp("2026-01-01")
+    l_pdf = pd.DataFrame({
+        "lid": [0, 1],
+        "key": [1, 1],
+        "ts": [base + pd.Timedelta(seconds=30),
+               base + pd.Timedelta(seconds=60)],
+    })
+    r_pdf = pd.DataFrame({
+        "rid": [100, 101],
+        "key": [1, 1],
+        "ts": [base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=50)],
+        "val": pd.array([7.5, None], dtype="float64"),
+        "tag": ["a", None],
+    })
+    got = tp.asof_join(spark.createDataFrame(l_pdf),
+                       spark.createDataFrame(r_pdf),
+                       on="key", ts_col="ts",
+                       right_cols=["rid", "val", "tag"],
+                       seq_col="rid").toPandas().set_index("lid")
+    # lid 0 matches rid 100 (full payload)
+    assert got.loc[0, "r_rid"] == 100
+    assert got.loc[0, "r_val"] == 7.5 and got.loc[0, "r_tag"] == "a"
+    # lid 1 matches rid 101 whose val/tag are genuinely NULL — they
+    # must STAY null (not be stitched from rid 100)
+    assert got.loc[1, "r_rid"] == 101
+    assert pd.isna(got.loc[1, "r_val"]) and got.loc[1, "r_tag"] is None
+
+
+def test_expire_snapshots_removes_old_orphans(spark):
+    """Orphan snapshot dirs (crashed writers: data, no commit.json)
+    older than the retained window are expired — they are never
+    readable, so leaving them leaks disk forever (ADVICE r2).  An
+    orphan NEWER than every committed version may be an in-flight
+    writer and must survive."""
+    with tempfile.TemporaryDirectory() as root:
+        for i, fp in enumerate(["a", "b", "c"], start=1):
+            lineage.run_stage(spark, root, "s",
+                              lambda n=i: spark.range(n * 10),
+                              input_fingerprint=fp)
+        snaps = os.path.join(root, "s", "snapshots")
+        # old orphan below the retained window, and a possibly
+        # in-flight orphan above every committed version
+        os.makedirs(os.path.join(snaps, "v00000", "data"))
+        os.makedirs(os.path.join(snaps, "v00099", "data"))
+        expired = lineage.expire_snapshots(root, "s", keep=2)
+        assert 0 in expired and 1 in expired
+        names = set(os.listdir(snaps))
+        assert "v00000" not in names and "v00001" not in names
+        assert {"v00002", "v00003", "v00099"} <= names
+        # current still reads
+        assert lineage.read_stage(spark, root, "s").count() == 30
