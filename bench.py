@@ -71,14 +71,14 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "sphere_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
         "ellip_nearest_landmark", "sphere_nearest_landmark",
-        "route_distance",
+        "route_distance", "ellip_route_nearest",
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
         "docs_clean_pipeline",
         "doc_minhash_pairs",
-        "doc_simhash_pairs",
-        "emb_cosine_topk", "emb_near_dup_pairs",
+        "doc_simhash_pairs", "doc_simhash_pairs_h3",
+        "emb_cosine_topk", "emb_near_dup_pairs", "emb_ivf_topk",
         "audio_features", "video_motion",
     ]
     for name in headline:
@@ -110,8 +110,8 @@ def run_bench(sf_dir: str = None, cpus: str = None,
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline suite wall time (images tiled+joined "
-                  "pipeline + 30 queries)",
+        "metric": ("headline suite wall time (images tiled+joined "
+                   f"pipeline + {len(headline)} queries)"),
         "value": total,
         "unit": "sec",
         "queries": timings,
