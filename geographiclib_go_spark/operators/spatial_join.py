@@ -193,11 +193,11 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_m: float,
 
 
 def _estimate_small(df: DataFrame, limit_rows: int = 200_000) -> bool:
-    """Cheap cardinality probe for the broadcast decision; logged via
-    plan comments.  At cluster scale this reads table statistics; in
-    sandbox we bound with a count on a sample."""
+    """Cheap cardinality probe for the broadcast decision: parquet
+    footer statistics when available (zero Spark jobs), else a
+    bounded short-circuit count (_estimate_row_count)."""
     try:
-        n = df.limit(limit_rows + 1).count()
+        n, _ = _estimate_row_count(df, limit_rows=limit_rows + 1)
         return n <= limit_rows
     except Exception:
         return False
