@@ -56,6 +56,11 @@ def gnomonic_reverse(g: GeodesicModel, lat0, lon0, x, y,
             | C.REDUCED_LENGTH | C.GEODESIC_SCALE)
     L = kdirect.line_init(g, lat0, lon0, azi0, caps)
     trip = np.zeros(s.shape, dtype=np.int64)
+    # reference (gnomonic.go:147,165): tripEpsilon = 0.01*sqrt(eps),
+    # convergence when |ds| < tripEpsilon * a (~1 mm on Earth).  The
+    # factor of a appears exactly once — folding it in here and again
+    # at the comparison made the threshold ~6 km and cost ~1 m of
+    # reverse accuracy at quarter-hemisphere range (r3 fix).
     trip_eps = 0.01 * np.sqrt(gm.EPSILON) * a
 
     pos = None
@@ -71,7 +76,7 @@ def gnomonic_reverse(g: GeodesicModel, lat0, lon0, x, y,
                           ((m12 / M12) - rho) * M12 * M12,
                           (rho - (M12 / m12)) * m12 * m12)
         s = np.where(active, s - ds, s)
-        trip = trip + (active & (np.abs(ds) < trip_eps * a)).astype(np.int64)
+        trip = trip + (active & (np.abs(ds) < trip_eps)).astype(np.int64)
 
     conv = trip > 0
     nan = np.full(s.shape, np.nan)

@@ -46,3 +46,26 @@ def test_over_horizon_is_nan():
     fwd = kg.gnomonic_forward(G, np.array([0.0]), np.array([0.0]),
                               np.array([0.0]), np.array([120.0]))
     assert np.isnan(fwd["x"][0]) and np.isnan(fwd["y"][0])
+
+
+def test_reverse_roundtrip_far_points_submm():
+    """Reverse must converge to the reference's ~1 mm trip threshold
+    even at quarter-hemisphere range (r3: the trip threshold was
+    accidentally scaled by an extra factor of a, costing ~1 m of
+    accuracy on far points)."""
+    import numpy as np
+    from geographiclib_go_spark.kernels import caps as C
+    from geographiclib_go_spark.kernels import gnomonic as gn
+    from geographiclib_go_spark.kernels import inverse as kinv
+    from geographiclib_go_spark.kernels.geodesic import wgs84_model
+    g = wgs84_model()
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-50, 89, 500)
+    lon = rng.uniform(-180, 180, 500)
+    f = gn.gnomonic_forward(g, 40.0, -74.0, lat, lon)
+    ok = np.isfinite(f["x"])
+    assert ok.sum() > 100
+    r = gn.gnomonic_reverse(g, 40.0, -74.0, f["x"][ok], f["y"][ok])
+    d = kinv.gen_inverse(g, r["lat"], r["lon"], lat[ok], lon[ok],
+                         C.DISTANCE)["s12"]
+    assert np.nanmax(d) < 1e-3  # sub-mm, vs ~1.8 m before the fix
