@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,
         "route_distance": Q.route_distance,
         "ellip_route_nearest": Q.ellip_route_nearest,
+        "route_crossings": Q.route_crossings,
+        "ellip_route_crossings": Q.ellip_route_crossings,
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,
         "sphere_polygon_area": Q.sphere_polygon_area,

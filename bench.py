@@ -72,6 +72,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "pip_dateline_box", "sphere_direct_destinations",
         "ellip_nearest_landmark", "sphere_nearest_landmark",
         "route_distance", "ellip_route_nearest",
+        "route_crossings", "ellip_route_crossings",
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",

@@ -513,6 +513,58 @@ def ellip_route_nearest(spark, sf_dir):
             .orderBy("c_custkey"))
 
 
+def _customer_segments(spark, sf_dir):
+    """One geodesic segment per customer, closed-form in c_custkey so
+    the oracle can rebuild it exactly: from the customer point to
+    (lat/2 + 20, lon + 30) — identical IEEE expressions both sides."""
+    pts = _customer_points(spark, sf_dir)
+    return pts.select(
+        "c_custkey",
+        F.col("lat").alias("lat1"), F.col("lon").alias("lon1"),
+        (F.col("lat") / 2.0 + 20.0).alias("lat2"),
+        (F.col("lon") + 30.0).alias("lon2"))
+
+
+def route_crossings(spark, sf_dir):
+    """Geodesic segment x route intersections on the sphere
+    (operators/intersect.py): where does each customer segment CROSS
+    the 2-leg route?  f=0 makes the great-circle construction
+    (+/- nhat x nc, arc membership) a closed-form SQL oracle — the
+    crossing point, both along-arc fractions, and the membership
+    decisions are all recomputed by DuckDB from the same inlined
+    route frame constants the UDF closure ships."""
+    from geographiclib_go_spark.operators import intersect as ixo
+    segs = _customer_segments(spark, sf_dir)
+    out = ixo.route_intersections(segs, _ROUTE_LATS, _ROUTE_LONS,
+                                  SPHERE_A, 0.0)
+    return (out.select("c_custkey", "seg",
+                       F.round("ilat", 6).alias("ilat6"),
+                       F.round("ilon", 6).alias("ilon6"),
+                       F.round("frac_in", 6).alias("frac_in6"),
+                       F.round("frac_rt", 6).alias("frac_rt6"))
+            .orderBy("c_custkey", "seg"))
+
+
+def ellip_route_crossings(spark, sf_dir):
+    """TRUE WGS84 geodesic intersections via Karney's iterated
+    ellipsoidal-gnomonic construction (operators/intersect.py):
+    sphere seed, then project-chord-intersect-reproject about the
+    running estimate (geodesics through the center are exactly
+    straight in the ellipsoidal gnomonic, gnomonic.go:92-173).
+    Pytest pins the construction to 1e-9 m against geodesics built
+    through a known common point; the driver hash-checks against a
+    kernel-precomputed fixture (scripts/build_fixtures.py)."""
+    from geographiclib_go_spark.kernels.geodesic import WGS84_A, WGS84_F
+    from geographiclib_go_spark.operators import intersect as ixo
+    segs = _customer_segments(spark, sf_dir)
+    out = ixo.route_intersections(segs, _ROUTE_LATS, _ROUTE_LONS,
+                                  WGS84_A, WGS84_F)
+    return (out.select("c_custkey", "seg",
+                       F.round("ilat", 6).alias("ilat6"),
+                       F.round("ilon", 6).alias("ilon6"))
+            .orderBy("c_custkey", "seg"))
+
+
 def tile_counts_salted(spark, sf_dir):
     """tile_counts through the explicit skew machinery: hot tiles
     detected by the scout pass, salted with the deterministic
@@ -1600,6 +1652,65 @@ ORACLE_SQL["route_distance"] = f"""
     FROM d3 ORDER BY c_custkey, seg
 """
 
+# route crossings: closed-form great-circle intersection — candidate
+# directions +/- (nhat x nc) with arc-membership tests on BOTH
+# segments, sharing the same inlined route frame doubles as the UDF
+ORACLE_SQL["route_crossings"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    segt(sid, ax, ay, az, bx, by, bz, nx, ny, nz, ex, ey, ez, arc)
+      AS (VALUES {_rt.route_segment_sql(_ROUTE_LATS, _ROUTE_LONS)}),
+    cs AS (SELECT c_custkey, lat AS lat1, lon AS lon1,
+                  lat / 2.0 + 20.0 AS lat2, lon + 30.0 AS lon2
+           FROM pts),
+    uv AS (SELECT c_custkey,
+             COS(RADIANS(lat1))*COS(RADIANS(lon1)) AS ax1,
+             COS(RADIANS(lat1))*SIN(RADIANS(lon1)) AS ay1,
+             SIN(RADIANS(lat1)) AS az1,
+             COS(RADIANS(lat2))*COS(RADIANS(lon2)) AS ax2,
+             COS(RADIANS(lat2))*SIN(RADIANS(lon2)) AS ay2,
+             SIN(RADIANS(lat2)) AS az2
+           FROM cs),
+    nrm AS (SELECT *,
+              ay1*az2 - az1*ay2 AS ncx,
+              az1*ax2 - ax1*az2 AS ncy,
+              ax1*ay2 - ay1*ax2 AS ncz
+            FROM uv),
+    nn AS (SELECT *,
+             SQRT(ncx*ncx + ncy*ncy + ncz*ncz) AS ncn,
+             ATAN2(SQRT(ncx*ncx + ncy*ncy + ncz*ncz),
+                   ax1*ax2 + ay1*ay2 + az1*az2) AS arc_c
+           FROM nrm),
+    cand AS (SELECT n.*, s.sid, s.arc,
+               s.ax, s.ay, s.az, s.ex, s.ey, s.ez,
+               sg.sgn,
+               s.ny*n.ncz - s.nz*n.ncy AS dx,
+               s.nz*n.ncx - s.nx*n.ncz AS dy,
+               s.nx*n.ncy - s.ny*n.ncx AS dz
+             FROM nn n
+             CROSS JOIN segt s
+             CROSS JOIN (VALUES (1.0), (-1.0)) sg(sgn)),
+    pc AS (SELECT *, SQRT(dx*dx + dy*dy + dz*dz) AS dn FROM cand),
+    p AS (SELECT *, sgn*dx/dn AS px, sgn*dy/dn AS py, sgn*dz/dn AS pz
+          FROM pc WHERE dn > 1e-12 AND ncn > 1e-12),
+    m AS (SELECT *,
+            ATAN2(px*ex + py*ey + pz*ez,
+                  px*ax + py*ay + pz*az) AS phi_r,
+            ATAN2((px*(ncy*az1 - ncz*ay1) + py*(ncz*ax1 - ncx*az1)
+                   + pz*(ncx*ay1 - ncy*ax1)) / ncn,
+                  px*ax1 + py*ay1 + pz*az1) AS phi_c
+          FROM p)
+    SELECT c_custkey, CAST(sid AS INT) AS seg,
+           ROUND(DEGREES(ASIN(LEAST(GREATEST(pz, -1.0), 1.0))), 6)
+             AS ilat6,
+           ROUND(DEGREES(ATAN2(py, px)), 6) AS ilon6,
+           ROUND(phi_c / arc_c, 6) AS frac_in6,
+           ROUND(phi_r / arc, 6) AS frac_rt6
+    FROM m
+    WHERE phi_r >= 0.0 AND phi_r <= arc
+      AND phi_c >= 0.0 AND phi_c <= arc_c
+    ORDER BY c_custkey, seg
+"""
+
 # tile_pyramid: reuse the closed-form cube-face encode from the
 # tile_counts oracle, then the same parent shifts (integer divides)
 ORACLE_SQL["tile_pyramid"] = ORACLE_SQL["tile_counts"].replace(
@@ -1859,4 +1970,14 @@ ORACLE_SQL["ellip_route_nearest"] = """
     JOIN '{fix}/ellip_route_nearest.parquet' f
       ON f.c_custkey = c.c_custkey
     ORDER BY c.c_custkey
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["ellip_route_crossings"] = """
+    SELECT c.c_custkey, f.seg,
+           ROUND(f.ilat, 6) AS ilat6,
+           ROUND(f.ilon, 6) AS ilon6
+    FROM customer c
+    JOIN '{fix}/ellip_route_crossings.parquet' f
+      ON f.c_custkey = c.c_custkey
+    ORDER BY c.c_custkey, f.seg
 """.format(fix=_FIXTURE_DIR)

@@ -114,6 +114,38 @@ def build_route_nearest(n: int, out_dir: str = None) -> str:
     return path
 
 
+def build_route_crossings(n: int, out_dir: str = None) -> str:
+    """WGS84 geodesic intersections of the per-customer segments with
+    the route (operators/intersect.py): sphere closed-form seed +
+    iterated ellipsoidal-gnomonic refine, same code the Spark
+    operator ships."""
+    from geographiclib_go_spark.operators import intersect as ix
+    ck, lat1, lon1 = customer_points(n)
+    lat2 = lat1 / 2.0 + 20.0
+    lon2 = lon1 + 30.0
+    rla = np.asarray(Q._ROUTE_LATS, dtype=np.float64)
+    rlo = np.asarray(Q._ROUTE_LONS, dtype=np.float64)
+    frames = rt.route_frames(rla, rlo)
+    g = wgs84_model()
+    hit, ilat, ilon, _fi, _fr = ix.sphere_segment_intersections(
+        lat1, lon1, lat2, lon2, frames)
+    ii, jj = np.nonzero(hit)
+    plat, plon = ix.refine_intersections_gnomonic(
+        g, lat1[ii], lon1[ii], lat2[ii], lon2[ii],
+        rla[:-1][jj], rlo[:-1][jj], rla[1:][jj], rlo[1:][jj],
+        ilat[ii, jj], ilon[ii, jj])
+    tbl = pa.table({
+        "c_custkey": ck[ii],
+        "seg": jj.astype(np.int32),
+        "ilat": plat,
+        "ilon": plon,
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "ellip_route_crossings.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15000
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -121,6 +153,8 @@ def main():
     print("wrote", p1)
     p2 = build_route_nearest(n)
     print("wrote", p2)
+    p3 = build_route_crossings(n)
+    print("wrote", p3)
 
 
 if __name__ == "__main__":

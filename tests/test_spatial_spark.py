@@ -532,6 +532,15 @@ def test_ellip_fixture_parquet_fresh(tmp_path):
                           com_rt.s_along.to_numpy())
     assert np.array_equal(fresh_rt.dist_m.to_numpy(),
                           com_rt.dist_m.to_numpy())
+    fresh_rx = pq.read_table(
+        bf.build_route_crossings(n, out_dir=str(tmp_path))).to_pandas()
+    com_rx = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "ellip_route_crossings.parquet")).to_pandas()
+    com_rx = com_rx[com_rx.c_custkey < n].reset_index(drop=True)
+    assert len(fresh_rx) == len(com_rx) > 0
+    for col in ("c_custkey", "seg", "ilat", "ilon"):
+        assert np.array_equal(fresh_rx[col].to_numpy(),
+                              com_rx[col].to_numpy()), col
 
 
 def test_cap_covers_by_cell_dedup_and_superset(monkeypatch):
@@ -561,3 +570,84 @@ def test_cap_covers_by_cell_dedup_and_superset(monkeypatch):
         per_point = set(orig(float(la[i]), float(lo[i]), res,
                              rad).tolist())
         assert per_point <= set(covers[i])
+
+
+def test_geodesic_intersections_known_point():
+    """Ground truth by construction: build two WGS84 geodesics
+    THROUGH a common point (direct problem, +/- along two azimuths);
+    the iterated-gnomonic intersection must recover that point to
+    kernel precision from a badly perturbed seed."""
+    from geographiclib_go_spark.kernels import caps as Cc
+    from geographiclib_go_spark.kernels import direct as kdir
+    from geographiclib_go_spark.kernels import inverse as kinv
+    from geographiclib_go_spark.kernels.geodesic import wgs84_model
+    from geographiclib_go_spark.operators import intersect as ix
+    g = wgs84_model()
+    rng = np.random.default_rng(31)
+    n = 40
+    x0la = rng.uniform(-60, 60, n)
+    x0lo = rng.uniform(-180, 180, n)
+    azi_a = rng.uniform(0, 180, n)
+    azi_b = azi_a + rng.uniform(30, 150, n)
+
+    def endpoint(azi, s):
+        L = kdir.line_init(g, x0la, x0lo, azi,
+                           Cc.LATITUDE | Cc.LONGITUDE | Cc.DISTANCE_IN)
+        p = kdir.gen_position(g, L, False, s,
+                              Cc.LATITUDE | Cc.LONGITUDE)
+        return p["lat2"], p["lon2"]
+
+    s1 = rng.uniform(500e3, 3000e3, n)
+    s2 = rng.uniform(500e3, 3000e3, n)
+    a1la, a1lo = endpoint(azi_a, -s1)
+    a2la, a2lo = endpoint(azi_a, s2)
+    b1la, b1lo = endpoint(azi_b, -s2)
+    b2la, b2lo = endpoint(azi_b, s1)
+    la, lo = ix.refine_intersections_gnomonic(
+        g, a1la, a1lo, a2la, a2lo, b1la, b1lo, b2la, b2lo,
+        x0la + rng.uniform(-0.3, 0.3, n),
+        x0lo + rng.uniform(-0.3, 0.3, n), iters=5)
+    err = kinv.gen_inverse(g, la, lo, x0la, x0lo, Cc.DISTANCE)["s12"]
+    assert np.nanmax(err) < 1e-6
+
+
+def test_route_intersections_sphere_operator(spark):
+    """Spark operator end-to-end at f=0: every emitted crossing lies
+    on BOTH great-circle segments (closed-form distance < 1e-6 m) and
+    the emitted set equals the numpy kernel's."""
+    from geographiclib_go_spark.operators import intersect as ix
+    from geographiclib_go_spark.operators import route as rt
+    R = 6371000.0
+    lats, lons = [10.0, 52.0, 36.0], [-70.0, 0.0, 140.0]
+    rng = np.random.default_rng(41)
+    n = 500
+    pdf = pd.DataFrame({
+        "sid": np.arange(n),
+        "lat1": rng.uniform(-80, 80, n),
+        "lon1": rng.uniform(-180, 180, n),
+        "lat2": rng.uniform(-80, 80, n),
+        "lon2": rng.uniform(-180, 180, n),
+    })
+    got = ix.route_intersections(spark.createDataFrame(pdf),
+                                 lats, lons, R, 0.0).toPandas()
+    hit, ilat, ilon, fi, fr = ix.sphere_segment_intersections(
+        pdf.lat1.to_numpy(), pdf.lon1.to_numpy(),
+        pdf.lat2.to_numpy(), pdf.lon2.to_numpy(),
+        rt.route_frames(lats, lons))
+    ii, jj = np.nonzero(hit)
+    assert len(got) == len(ii) > 10
+    want = {(int(i), int(j)): (ilat[i, j], ilon[i, j])
+            for i, j in zip(ii, jj)}
+    frames = rt.route_frames(lats, lons)
+    for r in got.itertuples():
+        wla, wlo = want[(r.sid, r.seg)]
+        assert abs(r.ilat - wla) < 1e-12 and abs(r.ilon - wlo) < 1e-12
+        # on the route segment
+        d_rt = rt.segment_distances(np.array([r.ilat]),
+                                    np.array([r.ilon]), frames, R)
+        assert d_rt[0, r.seg] < 1e-6
+        # on the input segment
+        sf = rt.route_frames([r.lat1, r.lat2], [r.lon1, r.lon2])
+        d_in = rt.segment_distances(np.array([r.ilat]),
+                                    np.array([r.ilon]), sf, R)
+        assert d_in[0, 0] < 1e-6
