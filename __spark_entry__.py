@@ -86,8 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs_h3": Q.doc_simhash_pairs_h3,
         "doc_fingerprints": Q.doc_fingerprints,
         # multimodal: audio/video decode + features (real raw codecs)
+        # + image-table dedup (north-rule input table)
         "audio_features": Q.audio_features,
         "video_motion": Q.video_motion,
+        "image_phash_dedup": Q.image_phash_dedup,
+        "image_phash_near_dup": Q.image_phash_near_dup,
         # embeddings: similarity search (emb_ivf_topk listed early —
         # in r2 it was the final dict entry and got no driver
         # CORRECTNESS row; the O(n^2) oracle twin goes last instead)

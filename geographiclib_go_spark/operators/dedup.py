@@ -171,31 +171,46 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     by a document-hash prefix, or recurse the pigeonhole (split each
     chunk collision group by a second-level chunking) — the standard
     multi-index Hamming-join construction."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
     sh = simhash_udf()
     s = docs.select(F.col(id_col).alias("doc_id"),
                     sh(F.col(text_col)).alias("simhash"))
-    parts = s.select(
-        "doc_id", "simhash",
+    return hamming_band_pairs(s, sig_col="simhash", id_col="doc_id",
+                              max_hamming=max_hamming)
+
+
+def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
+                       max_hamming: int,
+                       bits: int = 64) -> DataFrame:
+    """All id pairs whose 64-bit signatures differ in <= max_hamming
+    bits — the pigeonhole chunk-band join, usable for ANY 64-bit
+    signature column (SimHash text sketches, image perceptual
+    hashes, ...).  Splitting into max_hamming+1 chunks guarantees a
+    pair within the bound shares at least one whole chunk (lossless
+    recall); the exact popcount filter removes false candidates.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    chunks = max_hamming + 1
+    width = bits // chunks
+    parts = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("simhash", c * width)
+                     F.shiftrightunsigned(sig_col, c * width)
                      .bitwiseAND(F.lit((1 << width) - 1))
                      .alias("chunk_val"))
             for c in range(chunks)])).alias("cc"))
-    parts = parts.select("doc_id", "simhash", "cc.chunk", "cc.chunk_val")
+    parts = parts.select("_id", "_sig", "cc.chunk", "cc.chunk_val")
     # persist before the self-join (see minhash_candidates: avoids
-    # running the signature UDF once per join side)
+    # running any upstream signature UDF once per join side)
     parts = parts.cache()
     a = parts.alias("a")
     b = parts.alias("b")
     pairs = (a.join(b, ["chunk", "chunk_val"])
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.simhash").alias("sh_b"))
+             .filter(F.col("a._id") < F.col("b._id"))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a._sig").alias("sh_a"),
+                     F.col("b._sig").alias("sh_b"))
              .distinct())
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (pairs.withColumn("hamming", ham)

@@ -841,6 +841,48 @@ def doc_fingerprints(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Images: dedup over the north-rule image+caption table
+# --------------------------------------------------------------------------
+
+_IMG_QUERY_N = 5000
+
+
+def image_phash_dedup(spark, sf_dir):
+    """EXACT image dedup over the synthetic Iceberg-shaped
+    image+caption table (the north-rule input): per-phash group
+    stats from the distributed generator.  Every row's phash is
+    pinned by a driver-side numpy fixture (images.phash_for_ids via
+    scripts/build_fixtures.py, equality pytest-gated), and the
+    GROUP BY is replayed in SQL over the fixture — so the driver
+    hash-checks generation determinism AND the aggregation."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    return (imgs.groupBy("phash")
+            .agg(F.count("*").alias("n_images"),
+                 F.sum((F.col("fmt") == "jpeg-sim").cast("long"))
+                 .alias("n_lossy"),
+                 F.min("image_id").alias("first_id"))
+            .orderBy("phash"))
+
+
+def image_phash_near_dup(spark, sf_dir):
+    """Image NEAR-dup candidates: the pigeonhole chunk-band Hamming
+    join (operators/dedup.hamming_band_pairs — the same scale shape
+    as SimHash dedup) over the DISTINCT perceptual hashes of the
+    image table, exact popcount refine at max_hamming=4.  The oracle
+    replays the distinct + threshold join from the pinned phash
+    fixture (lossless recall by pigeonhole makes the banded plan
+    provably equal the exhaustive join)."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    sigs = imgs.select("phash").distinct()
+    pairs = ded.hamming_band_pairs(sigs, sig_col="phash",
+                                   id_col="phash", max_hamming=4)
+    return pairs.select("id_a", "id_b", "hamming").orderBy(
+        "id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # Embeddings: similarity search
 # --------------------------------------------------------------------------
 
@@ -1980,4 +2022,31 @@ ORACLE_SQL["ellip_route_crossings"] = """
     JOIN '{fix}/ellip_route_crossings.parquet' f
       ON f.c_custkey = c.c_custkey
     ORDER BY c.c_custkey, f.seg
+""".format(fix=_FIXTURE_DIR)
+
+# Image-table oracles: the per-row phash is pinned by the numpy
+# fixture (generation determinism is itself under test — a drifted
+# generator fails the hash gate), the dedup aggregation / banded
+# Hamming join are replayed in SQL.  bit_count/xor semantics on
+# BIGINT match Spark's two's-complement popcount (verified).
+ORACLE_SQL["image_phash_dedup"] = """
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN fmt = 'jpeg-sim' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lossy,
+           MIN(image_id) AS first_id
+    FROM '{fix}/images_phash.parquet'
+    GROUP BY phash
+    ORDER BY phash
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_phash_near_dup"] = """
+    WITH d AS (SELECT DISTINCT phash
+               FROM '{fix}/images_phash.parquet')
+    SELECT a.phash AS id_a, b.phash AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM d a, d b
+    WHERE a.phash < b.phash
+      AND bit_count(xor(a.phash, b.phash)) <= 4
+    ORDER BY id_a, id_b
 """.format(fix=_FIXTURE_DIR)

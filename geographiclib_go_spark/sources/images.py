@@ -142,6 +142,32 @@ def phash64(pix: np.ndarray) -> np.int64:
     return np.int64(phash64_batch(pix[None])[0])
 
 
+def phash_for_ids(ids: np.ndarray, sizes=(16, 32),
+                  lossy_pct: int = 30) -> np.ndarray:
+    """Driver-side replication of the phash each generated image row
+    carries — the same splitmix chains, size pick, lossy quantization
+    and average-hash pooling as generate_images, without Spark.  Used
+    by scripts/build_fixtures.py to pin image-table oracles; equality
+    with the distributed generator is pytest-gated."""
+    ids = np.asarray(ids).astype(np.uint64)
+    out = np.zeros(ids.size, np.int64)
+    size_pick = (splitmix64(ids ^ np.uint64(7))
+                 % np.uint64(len(sizes))).astype(np.int64)
+    lossy = (splitmix64(ids ^ np.uint64(13))
+             % np.uint64(100)) < np.uint64(lossy_pct)
+    for si, wh in enumerate(sizes):
+        m = size_pick == si
+        if not m.any():
+            continue
+        pix = _pixels_for(ids[m], wh, wh)
+        q = 8
+        qpix = ((pix.astype(np.int32) // q) * q + q // 2) \
+            .clip(0, 255).astype(np.uint8)
+        eff = np.where(lossy[m][:, None, None, None], qpix, pix)
+        out[m] = phash64_batch(eff)
+    return out
+
+
 def latlon_from_phash(phash: np.ndarray) -> tuple:
     """Deterministic area-uniform placement from phash (FIXTURES.md §3):
     lat = asin(2u-1) in degrees, lon = 360v - 180."""

@@ -146,6 +146,26 @@ def build_route_crossings(n: int, out_dir: str = None) -> str:
     return path
 
 
+def build_images_phash(n: int = 5000, out_dir: str = None) -> str:
+    """(image_id, fmt, phash) for the first n generated images —
+    pure-numpy replication of the distributed generator's phash
+    chain (sources/images.phash_for_ids, equality pytest-gated).
+    Pins the image-table dedup oracles."""
+    from geographiclib_go_spark.sources import images as im
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lossy = (im.splitmix64(ids ^ np.uint64(13))
+             % np.uint64(100)) < np.uint64(30)
+    tbl = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "fmt": np.where(lossy, "jpeg-sim", "ppm"),
+        "phash": ph,
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR, "images_phash.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15000
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -155,6 +175,8 @@ def main():
     print("wrote", p2)
     p3 = build_route_crossings(n)
     print("wrote", p3)
+    p4 = build_images_phash()
+    print("wrote", p4)
 
 
 if __name__ == "__main__":

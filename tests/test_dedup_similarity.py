@@ -209,3 +209,40 @@ def test_simhash_tokenless_docs_pair_in_both_engines(spark):
     assert got_pairs == want_pairs
     assert (0, 1, 0) in got_pairs  # the two token-less docs pair
     assert (2, 3, 0) in got_pairs
+
+
+def test_image_phash_fixture_matches_generator(spark, tmp_path):
+    """The distributed image generator and the driver-side numpy
+    replication (images.phash_for_ids) must produce IDENTICAL
+    phash/fmt per image_id — this equality is what lets the committed
+    fixture parquet act as the oracle for the image-dedup queries —
+    and the committed fixture must equal a fresh rebuild."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+    from geographiclib_go_spark.sources import images as im
+    n = 1200
+    got = (im.generate_images(spark, n)
+           .select("image_id", "fmt", "phash").toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    ids = np.arange(n, dtype=np.uint64)
+    want_ph = im.phash_for_ids(ids)
+    assert np.array_equal(got.phash.to_numpy(), want_ph)
+    lossy = (im.splitmix64(ids ^ np.uint64(13))
+             % np.uint64(100)) < np.uint64(30)
+    assert np.array_equal(got.fmt.to_numpy() == "jpeg-sim", lossy)
+
+    _spec = importlib.util.spec_from_file_location(
+        "build_fixtures", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "build_fixtures.py"))
+    bf = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(bf)
+    fresh = pq.read_table(
+        bf.build_images_phash(n, out_dir=str(tmp_path))).to_pandas()
+    com = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "images_phash.parquet")).to_pandas().head(n)
+    for col in ("image_id", "fmt", "phash"):
+        assert np.array_equal(fresh[col].to_numpy(),
+                              com[col].to_numpy()), col
