@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_motion": Q.video_motion,
         "image_phash_dedup": Q.image_phash_dedup,
         "image_phash_near_dup": Q.image_phash_near_dup,
+        "image_row_invariants": Q.image_row_invariants,
         # embeddings: similarity search (emb_ivf_topk listed early —
         # in r2 it was the final dict entry and got no driver
         # CORRECTNESS row; the O(n^2) oracle twin goes last instead)

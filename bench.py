@@ -81,7 +81,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "doc_simhash_pairs", "doc_simhash_pairs_h3",
         "emb_cosine_topk", "emb_near_dup_pairs", "emb_ivf_topk",
         "audio_features", "video_motion",
-        "image_phash_dedup", "image_phash_near_dup",
+        "image_phash_dedup", "image_phash_near_dup", "image_row_invariants",
     ]
     for name in headline:
         fn = getattr(Q, name)

@@ -166,6 +166,26 @@ def build_images_phash(n: int = 5000, out_dir: str = None) -> str:
     return path
 
 
+def build_images_invariants(n: int = 5000, out_dir: str = None) -> str:
+    """(image_id, caption, fmt, pix_sum, sse, n_px) — the per-row
+    decode/caption invariant ground truth
+    (images.row_invariants_for_ids)."""
+    from geographiclib_go_spark.sources import images as im
+    inv = im.row_invariants_for_ids(np.arange(n, dtype=np.uint64))
+    tbl = pa.table({
+        "image_id": inv["image_id"],
+        "caption": inv["caption"],
+        "fmt": list(inv["fmt"]),
+        "pix_sum": inv["pix_sum"],
+        "sse": inv["sse"],
+        "n_px": inv["n_px"],
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "images_invariants.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15000
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -177,6 +197,8 @@ def main():
     print("wrote", p3)
     p4 = build_images_phash()
     print("wrote", p4)
+    p5 = build_images_invariants()
+    print("wrote", p5)
 
 
 if __name__ == "__main__":

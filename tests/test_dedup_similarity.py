@@ -246,3 +246,35 @@ def test_image_phash_fixture_matches_generator(spark, tmp_path):
     for col in ("image_id", "fmt", "phash"):
         assert np.array_equal(fresh[col].to_numpy(),
                               com[col].to_numpy()), col
+
+
+def test_image_row_invariants_fixture_parity(tmp_path):
+    """The committed invariants fixture equals a fresh driver-side
+    rebuild, every lossless row has sse == 0, and every lossy row
+    passes the integer PSNR>=40 bound (q=8 quantization error)."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+    _spec = importlib.util.spec_from_file_location(
+        "build_fixtures", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "build_fixtures.py"))
+    bf = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(bf)
+    n = 800
+    fresh = pq.read_table(
+        bf.build_images_invariants(n, out_dir=str(tmp_path))).to_pandas()
+    com = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "images_invariants.parquet")).to_pandas().head(n)
+    for col in ("image_id", "caption", "fmt", "pix_sum", "sse", "n_px"):
+        assert np.array_equal(fresh[col].to_numpy(), com[col].to_numpy()), col
+    lossless = fresh.fmt == "ppm"
+    assert (fresh.sse[lossless] == 0).all()
+    # q=8 quantization averages ~40.9 dB, so psnr_ok is a per-row
+    # FLAG (both engines compute it identically under the hash gate),
+    # not a universal invariant: most lossy rows pass, some dip below
+    ok = fresh.sse * 10000 <= 65025 * fresh.n_px
+    assert ok[lossless].all()
+    assert ok[~lossless].mean() > 0.9
+    assert (~lossless).sum() > 100 and lossless.sum() > 100
