@@ -856,7 +856,7 @@ def image_phash_dedup(spark, sf_dir):
     GROUP BY is replayed in SQL over the fixture — so the driver
     hash-checks generation determinism AND the aggregation."""
     from geographiclib_go_spark.sources import images as im
-    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    imgs = im.generate_image_index(spark, _IMG_QUERY_N)
     return (imgs.groupBy("phash")
             .agg(F.count("*").alias("n_images"),
                  F.sum((F.col("fmt") == "jpeg-sim").cast("long"))
@@ -874,7 +874,7 @@ def image_phash_near_dup(spark, sf_dir):
     fixture (lossless recall by pigeonhole makes the banded plan
     provably equal the exhaustive join)."""
     from geographiclib_go_spark.sources import images as im
-    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    imgs = im.generate_image_index(spark, _IMG_QUERY_N)
     sigs = imgs.select("phash").distinct()
     pairs = ded.hamming_band_pairs(sigs, sig_col="phash",
                                    id_col="phash", max_hamming=4)

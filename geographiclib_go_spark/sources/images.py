@@ -255,6 +255,51 @@ def row_invariants_for_ids(ids: np.ndarray, sizes=(16, 32),
     return out
 
 
+INDEX_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("phash", T.LongType(), False),
+    T.StructField("lat", T.DoubleType(), False),
+    T.StructField("lon", T.DoubleType(), False),
+])
+
+
+def generate_image_index(spark: SparkSession, n: int, skew_pct: int = 3,
+                         sizes=(16, 32), lossy_pct: int = 30,
+                         partitions: int = None) -> DataFrame:
+    """The images table WITHOUT the bytes column — hand-rolled
+    projection pushdown for the generator source.  Catalyst cannot
+    prune columns INSIDE a mapInPandas source (the same blind spot
+    the capability-masked geodesic UDFs solve), so queries that only
+    need (image_id, fmt, phash, lat, lon) — dedup, tiling, placement
+    joins — use this index path and skip per-row byte assembly
+    entirely: the whole batch is vectorized numpy, no Python loop.
+    phash/fmt/placement are IDENTICAL to generate_images (shared
+    splitmix chains; parity pytest-gated via phash_for_ids)."""
+    partitions = partitions or max(spark.sparkContext.defaultParallelism,
+                                   4)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64).astype(np.uint64)
+            if ids.size == 0:
+                continue
+            ph = phash_for_ids(ids, sizes=sizes, lossy_pct=lossy_pct)
+            lossy = (splitmix64(ids ^ np.uint64(13))
+                     % np.uint64(100)) < np.uint64(lossy_pct)
+            lat, lon = latlon_for_ids(ids, ph, skew_pct)
+            yield pd.DataFrame({
+                "image_id": [f"img_{int(i):012d}" for i in ids],
+                "fmt": np.where(lossy, "jpeg-sim", "ppm"),
+                "phash": ph,
+                "lat": lat,
+                "lon": lon,
+            })
+
+    return (spark.range(0, n, 1, partitions)
+            .mapInPandas(gen, INDEX_SCHEMA))
+
+
 def generate_images(spark: SparkSession, n: int, skew_pct: int = 3,
                     sizes=(16, 32), lossy_pct: int = 30,
                     partitions: int = None) -> DataFrame:

@@ -278,3 +278,21 @@ def test_image_row_invariants_fixture_parity(tmp_path):
     assert ok[lossless].all()
     assert ok[~lossless].mean() > 0.9
     assert (~lossless).sum() > 100 and lossless.sum() > 100
+
+
+def test_image_index_matches_full_generator(spark):
+    """generate_image_index (the bytes-free projection path used by
+    the dedup queries) must agree with generate_images on every
+    shared column — same splitmix chains, no byte assembly."""
+    from geographiclib_go_spark.sources import images as im
+    n = 1500
+    full = (im.generate_images(spark, n)
+            .select("image_id", "fmt", "phash", "lat", "lon")
+            .toPandas().sort_values("image_id").reset_index(drop=True))
+    idx = (im.generate_image_index(spark, n)
+           .toPandas().sort_values("image_id").reset_index(drop=True))
+    assert np.array_equal(full.image_id.to_numpy(), idx.image_id.to_numpy())
+    assert np.array_equal(full.fmt.to_numpy(), idx.fmt.to_numpy())
+    assert np.array_equal(full.phash.to_numpy(), idx.phash.to_numpy())
+    assert np.array_equal(full.lat.to_numpy(), idx.lat.to_numpy())
+    assert np.array_equal(full.lon.to_numpy(), idx.lon.to_numpy())

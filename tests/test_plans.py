@@ -316,3 +316,24 @@ def test_expire_snapshots_removes_old_orphans(spark):
         assert {"v00002", "v00003", "v00099"} <= names
         # current still reads
         assert lineage.read_stage(spark, root, "s").count() == 30
+
+
+def test_route_intersections_plan_is_map_only(spark):
+    """The crossings operator must be a single map-only stage: no
+    Exchange anywhere in the plan (the route ships in the closure,
+    the fan-out is emitted flat by mapInPandas)."""
+    import pandas as pd
+    from geographiclib_go_spark.operators import intersect as ix
+    pdf = pd.DataFrame({
+        "sid": range(50),
+        "lat1": [float(i % 60) for i in range(50)],
+        "lon1": [float(i % 120) - 60 for i in range(50)],
+        "lat2": [float(i % 50) - 20 for i in range(50)],
+        "lon2": [float(i % 100) - 20 for i in range(50)],
+    })
+    out = ix.route_intersections(spark.createDataFrame(pdf),
+                                 [10.0, 52.0, 36.0],
+                                 [-70.0, 0.0, 140.0], 6371000.0, 0.0)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
