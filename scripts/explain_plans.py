@@ -121,6 +121,21 @@ def main():
         "split skewed cells.",
         formatted(ring)))
 
+    # geodesic crossings: must be ONE map-only MapInPandas stage —
+    # the route ships in the closure, the sparse fan-out is emitted
+    # flat, and there is no Exchange anywhere
+    from geographiclib_go_spark.operators import intersect as ixo
+    segs = Q._customer_segments(spark, sf)
+    xing = ixo.route_intersections(segs, Q._ROUTE_LATS, Q._ROUTE_LONS,
+                                   Q.SPHERE_A, 0.0)
+    sections.append((
+        "route_crossings (geodesic segment x route intersections)",
+        "Zero Exchange: sphere closed-form seed + (for f != 0) the "
+        "iterated ellipsoidal-gnomonic refine all run inside one "
+        "MapInPandas over the segment table; output rows are the "
+        "flat crossing fan-out.",
+        formatted(xing)))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "
