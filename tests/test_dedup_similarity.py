@@ -296,3 +296,35 @@ def test_image_index_matches_full_generator(spark):
     assert np.array_equal(full.phash.to_numpy(), idx.phash.to_numpy())
     assert np.array_equal(full.lat.to_numpy(), idx.lat.to_numpy())
     assert np.array_equal(full.lon.to_numpy(), idx.lon.to_numpy())
+
+
+def test_hamming_band_pairs_equals_brute_force(spark):
+    """The pigeonhole chunk-band join must equal the exhaustive
+    threshold join exactly — random 64-bit signatures plus planted
+    near-pairs (<= max_hamming bit flips), verified for two chunking
+    regimes."""
+    rng = np.random.default_rng(53)
+    n = 3000
+    sigs = rng.integers(-(2**63), 2**63, n, dtype=np.int64)
+    # plant near-dups: copies of earlier sigs with k random bit flips
+    for t in range(200):
+        src = rng.integers(0, n - 200)
+        k = rng.integers(0, 5)
+        v = sigs[src:src + 1].view(np.uint64).copy()
+        for b in rng.choice(64, k, replace=False):
+            v ^= np.uint64(1) << np.uint64(b)
+        sigs[n - 200 + t] = v.view(np.int64)[0]
+    ids = np.arange(n)
+    df = spark.createDataFrame(pd.DataFrame({"sid": ids, "sig": sigs}))
+    u = sigs.view(np.uint64)
+    for h in (2, 4):
+        got = ded.hamming_band_pairs(df, "sig", "sid",
+                                     max_hamming=h).toPandas()
+        got_set = {(r.id_a, r.id_b, r.hamming) for r in got.itertuples()}
+        x = u[:, None] ^ u[None, :]
+        hd = np.zeros(x.shape, np.uint64)
+        for s in range(64):
+            hd += (x >> np.uint64(s)) & np.uint64(1)
+        ii, jj = np.nonzero((hd <= h) & (ids[:, None] < ids[None, :]))
+        want = {(int(i), int(j), int(hd[i, j])) for i, j in zip(ii, jj)}
+        assert got_set == want and len(want) > 100, (h, len(want))
