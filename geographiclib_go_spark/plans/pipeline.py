@@ -96,6 +96,13 @@ def tile_and_join(spark: SparkSession, images: DataFrame,
         tiles.select("image_id", "lat", "lon"), polys, res=5)
         .select("image_id", "poly_id"))
 
+    # 5b. per-row invariant stage: decode every payload and verify
+    # pixel closeness vs the pristine regeneration (the north rule's
+    # decoded-pixel + caption contract), snapshotted so a resume
+    # skips the re-decode
+    invariants = _stage("invariants", lambda: im.decode_invariants(
+        images).select("image_id", "fmt", "pix_sum", "sse", "psnr_ok"))
+
     # 6. per-tile aggregates through the salted key (two-phase:
     # partial on salted key, final on true tile)
     partial = (salted.groupBy("salted_key")
@@ -108,4 +115,5 @@ def tile_and_join(spark: SparkSession, images: DataFrame,
                              F.sum("_d").alias("approx_distinct_phash")))
 
     return {"tiles": tiles, "nearest": near, "in_polygon": in_poly,
-            "tile_stats": tile_stats, "hot_tiles": hot}
+            "invariants": invariants, "tile_stats": tile_stats,
+            "hot_tiles": hot}

@@ -891,55 +891,11 @@ def image_row_invariants(spark, sf_dir):
     (sse * 10^4 <= 255^2 * n_px).  The oracle is the committed
     driver-side fixture (images.row_invariants_for_ids), so the hash
     gate checks decode correctness, pixel closeness, AND caption
-    equality row by row.  Per-row decode loop is inherent to
-    variable-length codec parsing (same shape as the multimodal
-    operators); everything else is numpy."""
-    import numpy as np
-
-    from pyspark.sql import types as T
-
+    equality row by row (images.decode_invariants — also a lineage
+    stage of the spark-submit pipeline)."""
     from geographiclib_go_spark.sources import images as im
     imgs = im.generate_images(spark, _IMG_QUERY_N)
-
-    schema = T.StructType([
-        T.StructField("image_id", T.StringType()),
-        T.StructField("caption", T.StringType()),
-        T.StructField("fmt", T.StringType()),
-        T.StructField("pix_sum", T.LongType()),
-        T.StructField("sse", T.LongType()),
-        T.StructField("psnr_ok", T.BooleanType()),
-    ])
-
-    def inv(batches):
-        import pandas as pd
-        for pdf in batches:
-            nb = len(pdf)
-            if nb == 0:
-                continue
-            ids = np.array([int(s.split("_")[1]) for s in pdf.image_id],
-                           dtype=np.uint64)
-            pix_sum = np.zeros(nb, np.int64)
-            sse = np.zeros(nb, np.int64)
-            for t in range(nb):
-                decoded = im.decode_image(pdf.bytes.iloc[t],
-                                          pdf.fmt.iloc[t])
-                pristine = im._pixels_for(
-                    ids[t:t + 1], int(pdf.w.iloc[t]),
-                    int(pdf.h.iloc[t]))[0]
-                pix_sum[t] = decoded.astype(np.int64).sum()
-                d = decoded.astype(np.int64) - pristine.astype(np.int64)
-                sse[t] = (d * d).sum()
-            n_px = 3 * pdf.w.to_numpy(np.int64) * pdf.h.to_numpy(np.int64)
-            yield pd.DataFrame({
-                "image_id": pdf.image_id,
-                "caption": pdf.caption,
-                "fmt": pdf.fmt,
-                "pix_sum": pix_sum,
-                "sse": sse,
-                "psnr_ok": sse * 10000 <= 65025 * n_px,
-            })
-
-    return imgs.mapInPandas(inv, schema).orderBy("image_id")
+    return im.decode_invariants(imgs).orderBy("image_id")
 
 
 # --------------------------------------------------------------------------

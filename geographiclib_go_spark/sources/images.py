@@ -378,6 +378,57 @@ def generate_images(spark: SparkSession, n: int, skew_pct: int = 3,
             .mapInPandas(gen, IMAGES_SCHEMA))
 
 
+INVARIANTS_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("pix_sum", T.LongType()),
+    T.StructField("sse", T.LongType()),
+    T.StructField("psnr_ok", T.BooleanType()),
+])
+
+
+def decode_invariants(images_df: DataFrame) -> DataFrame:
+    """Distributed per-row invariant check over an images DataFrame:
+    decode every payload (real PPM / jpeg-sim parse), compare against
+    a pristine in-UDF regeneration with an INTEGER sum of squared
+    errors, and emit psnr_ok — the exact integer form of
+    PSNR >= 40 dB (sse * 10^4 <= 255^2 * n_px) — plus the caption.
+    Used by queries.image_row_invariants (driver hash gate vs the
+    committed fixture) and as a pipeline stage.  The per-row decode
+    loop is inherent to variable-length codec parsing; everything
+    else is numpy."""
+    def inv(batches):
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            ids = np.array([int(s.split("_")[1]) for s in pdf.image_id],
+                           dtype=np.uint64)
+            pix_sum = np.zeros(nb, np.int64)
+            sse = np.zeros(nb, np.int64)
+            for t in range(nb):
+                decoded = decode_image(pdf.bytes.iloc[t],
+                                       pdf.fmt.iloc[t])
+                pristine = _pixels_for(
+                    ids[t:t + 1], int(pdf.w.iloc[t]),
+                    int(pdf.h.iloc[t]))[0]
+                pix_sum[t] = decoded.astype(np.int64).sum()
+                d = decoded.astype(np.int64) - pristine.astype(np.int64)
+                sse[t] = (d * d).sum()
+            n_px = 3 * pdf.w.to_numpy(np.int64) * pdf.h.to_numpy(np.int64)
+            yield pd.DataFrame({
+                "image_id": pdf.image_id,
+                "caption": pdf.caption,
+                "fmt": pdf.fmt,
+                "pix_sum": pix_sum,
+                "sse": sse,
+                "psnr_ok": sse * 10000 <= 65025 * n_px,
+            })
+
+    return images_df.mapInPandas(inv, INVARIANTS_SCHEMA)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

@@ -33,11 +33,17 @@ def main():
     res = pl.tile_and_join(spark, images, stage_root=root,
                            fingerprint=f"n={n}")
     counts = {k: res[k].count() for k in
-              ("tiles", "nearest", "in_polygon", "tile_stats")}
+              ("tiles", "nearest", "in_polygon", "invariants",
+               "tile_stats")}
+    from pyspark.sql import functions as F
+    n_psnr_fail = (res["invariants"]
+                   .filter(~F.col("psnr_ok")).count())
     wall = time.time() - t0
     print(json.dumps({"n_images": n, "wall_s": round(wall, 3),
                       "images_per_sec": round(n / wall, 1),
-                      "stage_rows": counts, "stage_root": root}))
+                      "stage_rows": counts,
+                      "n_psnr_fail": n_psnr_fail,
+                      "stage_root": root}))
     spark.stop()
 
 
