@@ -139,6 +139,22 @@ def route_intersections(segments: DataFrame, route_lats, route_lons,
     Map-only Arrow stage (route in the closure).  f=0 returns the
     closed-form sphere crossing (which the SQL oracle recomputes);
     f != 0 refines with the iterated ellipsoidal gnomonic.
+
+    Semantics and limits (by design):
+    - collinear overlaps (segment lies on a route great circle) have
+      no isolated crossing and emit nothing (dn ~ 0 guard);
+    - at most one crossing per (segment, route segment) pair exists —
+      the two great-circle intersection points are antipodal, and an
+      arc shorter than pi cannot contain both;
+    - frac_in / frac_rt are the SPHERE along-arc fractions (the seed
+      geometry) even when f != 0 — the refined point itself is
+      ellipsoidal-exact;
+    - the gnomonic refine needs all four endpoints within the
+      projection horizon (< ~90 deg) of the crossing; a segment
+      longer than a quarter circumference can push an endpoint over
+      the horizon, in which case the row safely keeps its sphere
+      seed (split such segments upstream if f != 0 exactness is
+      required at that range).
     """
     from geographiclib_go_spark.kernels.geodesic import GeodesicModel
     rla = np.asarray(route_lats, dtype=np.float64)

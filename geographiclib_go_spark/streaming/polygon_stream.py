@@ -174,3 +174,14 @@ def streaming_doc_signatures(doc_stream: DataFrame,
     return doc_stream.withColumn(
         "minhash_sig", msig(F.col(text_col))).withColumn(
         "simhash", ssig(F.col(text_col)))
+
+
+def streaming_image_invariants(image_stream: DataFrame) -> DataFrame:
+    """Per-row decode + invariant verification on an IMAGE stream:
+    sources/images.decode_invariants is stateless per Arrow batch, so
+    the identical decode/verify kernel (real codec parse, integer
+    sse vs pristine regeneration, caption passthrough) runs unchanged
+    under readStream — the streaming analog of the batch pipeline's
+    invariants stage, flagging lossy-beyond-40dB rows in flight."""
+    from geographiclib_go_spark.sources import images as im
+    return im.decode_invariants(image_stream)

@@ -270,3 +270,34 @@ def test_streaming_signatures_match_batch(spark, tmp_path):
     for i in range(8):
         assert list(got.minhash_sig[i]) == list(want.m[i])
         assert got.simhash[i] == want.s[i]
+
+
+def test_streaming_image_invariants_matches_batch(spark, tmp_path):
+    """The decode-invariants kernel under readStream must produce
+    EXACTLY the batch result (stateless mapInPandas): same pix_sum /
+    sse / psnr_ok / caption per image."""
+    from geographiclib_go_spark.sources import images as im
+
+    src = tmp_path / "img_in"
+    src.mkdir()
+    batch = im.generate_images(spark, 400)
+    batch.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (spark.readStream.schema(im.IMAGES_SCHEMA)
+              .parquet(str(src / "*")))
+    q = (ps.streaming_image_invariants(stream)
+         .writeStream.format("memory").queryName("img_inv_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM img_inv_stream").toPandas() \
+            .sort_values("image_id").reset_index(drop=True)
+    finally:
+        q.stop()
+
+    want = im.decode_invariants(batch).toPandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert len(got) == 400
+    for col in ("image_id", "caption", "fmt", "pix_sum", "sse",
+                "psnr_ok"):
+        assert np.array_equal(got[col].to_numpy(),
+                              want[col].to_numpy()), col
