@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_unpivot": Q.part_type_unpivot,
         # spatial kernels + joins (sphere variants SQL-oracled)
         "sphere_distance_buckets": Q.sphere_distance_buckets,
+        "sql_distance_buckets": Q.sql_distance_buckets,
         "sphere_radius_join": Q.sphere_radius_join,
         "sphere_knn": Q.sphere_knn,
         "pip_dateline_box": Q.pip_dateline_box,

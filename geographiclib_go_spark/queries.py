@@ -362,6 +362,30 @@ def sphere_distance_buckets(spark, sf_dir):
             .orderBy("bucket_mm"))
 
 
+def sql_distance_buckets(spark, sf_dir):
+    """The engine through its SQL surface: register the kernel
+    functions (functions/sql_registry.py) and run PLAIN SQL TEXT —
+    the same Karney inverse at f=0 via `sphere_distance(...)` inside
+    a GROUP BY, no DataFrame API in the query itself.  The oracle is
+    the same closed-form haversine as sphere_distance_buckets, so the
+    driver hash-checks the SQL registration path end to end."""
+    from geographiclib_go_spark.functions.sql_registry import (
+        register_sql_functions)
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    lm = LANDMARKS[0]
+    return spark.sql(f"""
+        SELECT CAST(FLOOR(sphere_distance(
+                   {float(lm[1])}D, {float(lm[2])}D,
+                   ((c_custkey * 9973) % 17000) / 100.0 - 85.0,
+                   ((c_custkey * 7919) % 36000) / 100.0 - 180.0
+               ) / 1e6) AS BIGINT) AS bucket_mm,
+               COUNT(*) AS n
+        FROM customer_v
+        GROUP BY 1 ORDER BY 1
+    """)
+
+
 def sphere_radius_join(spark, sf_dir):
     """Engine distance join (cell cover + refine) on the sphere:
     customers within 2000 km of each landmark -> counts."""
@@ -1192,6 +1216,18 @@ ORACLE_SQL = {
         FROM pts, lm
         WHERE {_HAVERSINE} <= 2000000.0
         GROUP BY qid ORDER BY qid
+    """,
+    # identical closed form as sphere_distance_buckets — the Spark
+    # side differs only in going through the SQL function registry
+    "sql_distance_buckets": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT CAST(FLOOR((2.0 * {SPHERE_A} * ASIN(SQRT(
+                   POW(SIN(RADIANS(lat - {LANDMARKS[0][1]}) / 2), 2)
+                   + COS(RADIANS({LANDMARKS[0][1]})) * COS(RADIANS(lat))
+                   * POW(SIN(RADIANS(lon - ({LANDMARKS[0][2]})) / 2), 2)
+               ))) / 1e6) AS BIGINT) AS bucket_mm,
+               COUNT(*) AS n
+        FROM pts GROUP BY 1 ORDER BY 1
     """,
     "sphere_knn": f"""
         {_HAV_POINTS}

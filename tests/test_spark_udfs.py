@@ -102,3 +102,54 @@ def test_waypoint_explode_plan(spark):
         row = out[(out.line_id == 0) & (out.i == i)].iloc[0]
         assert row.lat2 == pytest.approx(r.lat2, abs=1e-12)
         assert row.lon2 == pytest.approx(r.lon2, abs=1e-12)
+
+
+def test_sql_registry_functions(spark):
+    """The SQL registry exposes the exact kernels to plain SQL text:
+    geo_distance/geo_azimuth match gen_inverse, geo_destination
+    round-trips through geo_distance, geo_cell matches the cell
+    operator."""
+    import numpy as np
+    import pandas as pd
+
+    from geographiclib_go_spark.functions.sql_registry import (
+        register_sql_functions)
+    from geographiclib_go_spark.kernels import caps as Cc
+    from geographiclib_go_spark.kernels import inverse as kinv
+    from geographiclib_go_spark.kernels.geodesic import wgs84_model
+    from geographiclib_go_spark.operators import cells as kcells
+
+    names = register_sql_functions(spark)
+    assert "geo_distance" in names and "sphere_distance" in names
+    rng = np.random.default_rng(61)
+    n = 200
+    pdf = pd.DataFrame({
+        "i": np.arange(n),
+        "lat1": rng.uniform(-85, 85, n), "lon1": rng.uniform(-180, 180, n),
+        "lat2": rng.uniform(-85, 85, n), "lon2": rng.uniform(-180, 180, n),
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("pts_sql")
+    got = spark.sql("""
+        SELECT i, geo_distance(lat1, lon1, lat2, lon2) AS d,
+               geo_azimuth(lat1, lon1, lat2, lon2) AS az,
+               geo_destination(lat1, lon1,
+                   geo_azimuth(lat1, lon1, lat2, lon2),
+                   geo_distance(lat1, lon1, lat2, lon2)) AS dest,
+               geo_cell(lat1, lon1, 6) AS cell
+        FROM pts_sql
+    """).toPandas().set_index("i").sort_index()
+    g = wgs84_model()
+    want = kinv.inverse(g, pdf.lat1.to_numpy(), pdf.lon1.to_numpy(),
+                        pdf.lat2.to_numpy(), pdf.lon2.to_numpy(),
+                        Cc.DISTANCE | Cc.AZIMUTH)
+    assert np.allclose(got.d.to_numpy(), want["s12"], rtol=0, atol=1e-8)
+    assert np.allclose(got.az.to_numpy(), want["azi1"], rtol=0,
+                       atol=1e-10)
+    dest = pd.DataFrame(got.dest.tolist(), index=got.index)
+    err = kinv.gen_inverse(g, dest.lat2.to_numpy(), dest.lon2.to_numpy(),
+                           pdf.lat2.to_numpy(), pdf.lon2.to_numpy(),
+                           Cc.DISTANCE)["s12"]
+    assert np.nanmax(err) < 1e-8
+    want_cell = kcells.cell_from_latlon(pdf.lat1.to_numpy(),
+                                        pdf.lon1.to_numpy(), 6)
+    assert np.array_equal(got.cell.to_numpy(), want_cell)
