@@ -651,3 +651,23 @@ def test_route_intersections_sphere_operator(spark):
         d_in = rt.segment_distances(np.array([r.ilat]),
                                     np.array([r.ilon]), sf, R)
         assert d_in[0, 0] < 1e-6
+
+
+def test_knn_auto_res_requires_stats_or_exact_count(spark):
+    """When the points side exposes no parquet footer stats AND the
+    bounded probe saturates (row count only a lower bound), auto
+    resolution must refuse with a clear error instead of scanning the
+    fact table (VERDICT r2 item 4); passing res explicitly works."""
+    big = spark.range(0, 300_000).selectExpr(
+        "id as pid",
+        "cast(id % 90 as double) - 45.0 as lat",
+        "cast(id % 360 as double) - 180.0 as lon")
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": [0, 1],
+                      "lat": [10.0, -20.0], "lon": [30.0, 100.0]}))
+    n, exact = sj._estimate_row_count(big)
+    assert not exact and n == (1 << 18)
+    with pytest.raises(ValueError, match="pass res"):
+        sj.knn_join(big, qdf, k=2, strategy="ring")
+    out = sj.knn_join(big, qdf, k=2, res=3, strategy="ring")
+    assert out.count() == 4
