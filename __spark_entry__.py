@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts": Q.tile_counts,
         "tile_pyramid": Q.tile_pyramid,
         "tile_counts_salted": Q.tile_counts_salted,
+        "pts_geohash_rollup": Q.pts_geohash_rollup,
         "raster_coverage": Q.raster_coverage,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,
@@ -86,12 +87,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": Q.doc_simhash_pairs,
         "doc_simhash_pairs_h3": Q.doc_simhash_pairs_h3,
         "doc_fingerprints": Q.doc_fingerprints,
+        "doc_train_val_split": Q.doc_train_val_split,
+        "doc_stratified_sample": Q.doc_stratified_sample,
         # multimodal: audio/video decode + features (real raw codecs)
         # + image-table dedup (north-rule input table)
         "audio_features": Q.audio_features,
         "video_motion": Q.video_motion,
         "image_phash_dedup": Q.image_phash_dedup,
         "image_phash_near_dup": Q.image_phash_near_dup,
+        "image_dup_components": Q.image_dup_components,
+        "images_clean_pipeline": Q.images_clean_pipeline,
+        "doc_dup_clusters": Q.doc_dup_clusters,
         "image_row_invariants": Q.image_row_invariants,
         # embeddings: similarity search (emb_ivf_topk listed early —
         # in r2 it was the final dict entry and got no driver

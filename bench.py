@@ -82,6 +82,9 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "emb_cosine_topk", "emb_near_dup_pairs", "emb_ivf_topk",
         "audio_features", "video_motion",
         "image_phash_dedup", "image_phash_near_dup", "image_row_invariants",
+        "image_dup_components", "images_clean_pipeline",
+        "doc_dup_clusters", "doc_train_val_split",
+        "doc_stratified_sample", "pts_geohash_rollup",
     ]
     for name in headline:
         fn = getattr(Q, name)

@@ -103,6 +103,31 @@ def tile_and_join(spark: SparkSession, images: DataFrame,
     invariants = _stage("invariants", lambda: im.decode_invariants(
         images).select("image_id", "fmt", "pix_sum", "sse", "psnr_ok"))
 
+    # 5c. corpus prep: exact dedup (min-id survivor per phash) ->
+    # near-dup cluster resolution (Hamming band pairs -> connected
+    # components) -> deterministic train/val/test split of the
+    # survivors.  Snapshotted, so a resume skips the whole iterative
+    # components computation.
+    def _prep():
+        from geographiclib_go_spark.operators import components as cc
+        from geographiclib_go_spark.operators import dedup as ded
+        from geographiclib_go_spark.operators import sampling as smp
+        keep = (images.groupBy("phash")
+                .agg(F.min("image_id").alias("image_id")))
+        pairs = ded.hamming_band_pairs(keep.select("phash"),
+                                       sig_col="phash", id_col="phash",
+                                       max_hamming=4)
+        comp = cc.connected_components(pairs)
+        lab = (keep.join(comp, keep.phash == comp.id, "left")
+               .select(keep.image_id, keep.phash,
+                       F.coalesce("component_id", "phash").alias("cid")))
+        from pyspark.sql import Window
+        w = Window.partitionBy("cid").orderBy("image_id")
+        surv = (lab.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        return smp.assign_split(surv, "image_id")
+    dedup_split = _stage("dedup_split", _prep)
+
     # 6. per-tile aggregates through the salted key (two-phase:
     # partial on salted key, final on true tile)
     partial = (salted.groupBy("salted_key")
@@ -115,5 +140,5 @@ def tile_and_join(spark: SparkSession, images: DataFrame,
                              F.sum("_d").alias("approx_distinct_phash")))
 
     return {"tiles": tiles, "nearest": near, "in_polygon": in_poly,
-            "invariants": invariants, "tile_stats": tile_stats,
-            "hot_tiles": hot}
+            "invariants": invariants, "dedup_split": dedup_split,
+            "tile_stats": tile_stats, "hot_tiles": hot}

@@ -32,8 +32,11 @@ from geographiclib_go_spark.kernels import caps as C
 from geographiclib_go_spark.functions.geodesic_udfs import (
     make_direct_udf, make_gnomonic_fwd_udf, make_inverse_udf,
     make_waypoint_udf)
+from geographiclib_go_spark.operators import components as cc
 from geographiclib_go_spark.operators import dedup as ded
+from geographiclib_go_spark.operators import geohash as gh
 from geographiclib_go_spark.operators import nearest as nno
+from geographiclib_go_spark.operators import sampling as smp
 from geographiclib_go_spark.operators import similarity as sim
 from geographiclib_go_spark.operators import spatial_join as sj
 from geographiclib_go_spark.operators import text as tx
@@ -920,6 +923,141 @@ def image_row_invariants(spark, sf_dir):
     from geographiclib_go_spark.sources import images as im
     imgs = im.generate_images(spark, _IMG_QUERY_N)
     return im.decode_invariants(imgs).orderBy("image_id")
+
+
+def image_dup_components(spark, sf_dir):
+    """Near-dup CLUSTERS over the image table: the Hamming band join
+    emits pairs, connected_components (alternating large/small-star,
+    operators/components.py) resolves their transitive closure, and
+    every image joins its cluster's canonical id — the full dedup
+    decision ("A~B, B~C keeps ONE of three"), not just the pair list.
+    Singleton phashes label themselves, so the labeling is total.
+    The oracle recomputes the same clusters by recursive-CTE
+    min-label closure over the brute-force threshold join on the
+    pinned phash fixture — two unrelated CC algorithms agreeing on
+    every cluster id, member count, and survivor."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_image_index(spark, _IMG_QUERY_N)
+    sigs = imgs.select("phash").distinct()
+    pairs = ded.hamming_band_pairs(sigs, sig_col="phash",
+                                   id_col="phash", max_hamming=4)
+    comp = cc.connected_components(pairs)
+    lab = (sigs.join(comp, sigs.phash == comp.id, "left")
+           .select(sigs.phash,
+                   F.coalesce("component_id", "phash")
+                   .alias("component_id")))
+    return (imgs.join(lab, "phash")
+            .groupBy("component_id")
+            .agg(F.countDistinct("phash").alias("n_phashes"),
+                 F.count("*").alias("n_images"),
+                 F.min("image_id").alias("keeper_id"))
+            .orderBy("component_id"))
+
+
+def images_clean_pipeline(spark, sf_dir):
+    """End-to-end image-corpus prep, every decision hash-gated: the
+    generated image+caption table goes through (1) EXACT dedup —
+    min-id survivor per phash; (2) NEAR-dup resolution — Hamming
+    band join pairs -> connected components -> one survivor per
+    cluster; (3) deterministic train/val/test split of the
+    survivors.  Output is per-split counts with min/max-id and a
+    modular phash sum as membership witnesses, so the oracle (the
+    same chain over the pinned fixture: recursive-CTE components +
+    power-sum split hash) certifies the whole pipeline's row-level
+    decisions, not just totals.  This is the query a user runs to
+    turn a raw 10^12-image crawl into training shards; every stage
+    is a shuffle-bounded plan already proven individually."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_image_index(spark, _IMG_QUERY_N)
+    keep = imgs.groupBy("phash").agg(F.min("image_id").alias("image_id"))
+    pairs = ded.hamming_band_pairs(keep.select("phash"),
+                                   sig_col="phash", id_col="phash",
+                                   max_hamming=4)
+    comp = cc.connected_components(pairs)
+    lab = (keep.join(comp, keep.phash == comp.id, "left")
+           .select(keep.image_id, keep.phash,
+                   F.coalesce("component_id", "phash").alias("cid")))
+    w = Window.partitionBy("cid").orderBy("image_id")
+    surv = (lab.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    out = smp.assign_split(surv, "image_id",
+                           weights={"train": 0.9, "val": 0.05,
+                                    "test": 0.05})
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n_images"),
+                 F.min("image_id").alias("min_id"),
+                 F.max("image_id").alias("max_id"),
+                 F.sum(F.pmod(F.col("phash"), F.lit(1000003)))
+                 .alias("phash_witness"))
+            .orderBy("split"))
+
+
+def doc_dup_clusters(spark, sf_dir):
+    """Document near-dup clusters: MinHash-LSH pairs (Jaccard >= 0.8)
+    -> connected components -> one row per multi-member cluster with
+    its size and canonical doc.  The SQL oracle nests the full
+    minhash pair recomputation as a CTE and closes it with the same
+    recursive min-label propagation."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    pairs = ded.minhash_dedup_pairs(docs, threshold=0.8, num_hashes=64,
+                                    bands=8)
+    comp = cc.connected_components(pairs)
+    return (comp.groupBy("component_id")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("component_id"))
+
+
+def pts_geohash_rollup(spark, sf_dir):
+    """Geohash cell encode (operators/geohash.py: quantize +
+    magic-mask Morton interleave + base32, all JVM bitwise
+    expressions) with a prefix-hierarchy rollup: substr(gh6, 1, 4)
+    IS the enclosing gh4 cell, so the pyramid aggregation is a plain
+    string groupBy.  The oracle replays the identical bit
+    manipulation in SQL — every cell id, member count, and
+    distinct-subcell count must match bit for bit."""
+    pts = _customer_points(spark, sf_dir)
+    out = (pts.withColumn("gh6", gh.geohash_col(F.col("lat"),
+                                                F.col("lon"), 6))
+           .withColumn("gh4", F.col("gh6").substr(1, 4)))
+    return (out.groupBy("gh4")
+            .agg(F.count("*").alias("n_points"),
+                 F.countDistinct("gh6").alias("n_cells"),
+                 F.min("gh6").alias("first_cell"))
+            .orderBy("gh4"))
+
+
+def doc_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (operators/sampling.assign_split): membership is a pure JVM
+    Horner hash of the doc id — stable under repartitioning, rerun,
+    and shard arrival order, unlike df.sample().  Output is per-split
+    count plus a sum-of-ids membership witness, so the oracle (the
+    identical hash arithmetic in power-sum form) certifies EVERY
+    row's split, not just the totals."""
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.assign_split(docs, "doc_id",
+                           weights={"train": 0.8, "val": 0.1,
+                                    "test": 0.1})
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("split"))
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Exact-rate stratified sampling, map-only: keep hash(id) below
+    the stratum's integer cutoff (50% of long documents, 5% of
+    short) — no count pre-pass, no sampling state, reproducible on
+    any cluster layout.  The oracle replays hash + cutoffs and must
+    produce the identical id set."""
+    docs = _t(spark, sf_dir, "documents")
+    stratum = F.when(F.length("text") >= 400, F.lit("long")) \
+        .otherwise(F.lit("short"))
+    docs = docs.withColumn("stratum", stratum)
+    out = smp.stratified_sample(docs, "doc_id",
+                                {"long": 0.5, "short": 0.05},
+                                F.col("stratum"))
+    return out.select("doc_id", "stratum").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -2109,3 +2247,141 @@ ORACLE_SQL["image_phash_near_dup"] = """
       AND bit_count(xor(a.phash, b.phash)) <= 4
     ORDER BY id_a, id_b
 """.format(fix=_FIXTURE_DIR)
+
+# Connected-component cluster oracles: recursive-CTE min-label
+# closure over the SAME pair set the banded joins produce — an
+# algorithm-independent check of the large/small-star fixpoint
+# (operators/components.py).
+ORACLE_SQL["image_dup_components"] = """
+    WITH RECURSIVE
+    d AS (SELECT DISTINCT phash FROM '{fix}/images_phash.parquet'),
+    p AS (SELECT a.phash AS id_a, b.phash AS id_b
+          FROM d a, d b
+          WHERE a.phash < b.phash
+            AND bit_count(xor(a.phash, b.phash)) <= 4),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, l) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+        UNION
+        SELECT e.u, r.l FROM e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS phash, MIN(l) AS component_id
+            FROM reach GROUP BY u),
+    tot AS (SELECT d.phash,
+                   COALESCE(lab.component_id, d.phash) AS component_id
+            FROM d LEFT JOIN lab ON d.phash = lab.phash)
+    SELECT t.component_id,
+           CAST(COUNT(DISTINCT i.phash) AS BIGINT) AS n_phashes,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(i.image_id) AS keeper_id
+    FROM '{fix}/images_phash.parquet' i
+    JOIN tot t ON i.phash = t.phash
+    GROUP BY t.component_id
+    ORDER BY t.component_id
+""".format(fix=_FIXTURE_DIR)
+
+# Geohash oracle: identical quantize -> spread -> interleave ->
+# base32 bit manipulation emitted as a CTE chain (operators/geohash).
+_GH_PTS = ("(SELECT c_custkey, "
+           "((c_custkey * 9973) % 17000) / 100.0 - 85.0 AS lat, "
+           "((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon "
+           "FROM customer)")
+ORACLE_SQL["pts_geohash_rollup"] = f"""
+    WITH {gh.geohash_cte_sql(_GH_PTS, "lat", "lon", 6)}
+    SELECT substr(gh, 1, 4) AS gh4,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_cells,
+           MIN(gh) AS first_cell
+    FROM gh GROUP BY 1 ORDER BY gh4
+"""
+
+# Deterministic split / stratified-sample oracles: identical Horner
+# hash in power-sum form (operators/sampling.hash_cte_sql), integer
+# cutoffs inlined from the same _cutoffs computation.
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+ORACLE_SQL["doc_train_val_split"] = f"""
+    WITH {smp.hash_cte_sql('documents', 'doc_id', 'split:')}
+    SELECT {smp.split_case_sql(_SPLIT_W)} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(id) AS BIGINT) AS sum_ids
+    FROM hh GROUP BY 1 ORDER BY split
+"""
+
+_SAMP_CUTS = {name: min(int(frac * smp.SPLIT_P), smp.SPLIT_P)
+              for name, frac in {"long": 0.5, "short": 0.05}.items()}
+ORACLE_SQL["doc_stratified_sample"] = f"""
+    WITH {smp.hash_cte_sql('documents', 'doc_id', 'sample:')},
+    st AS (SELECT doc_id,
+                  CASE WHEN LENGTH(text) >= 400 THEN 'long'
+                       ELSE 'short' END AS stratum
+           FROM documents)
+    SELECT st.doc_id, st.stratum
+    FROM st JOIN hh ON hh.id = st.doc_id
+    WHERE (st.stratum = 'long' AND hh.h < {_SAMP_CUTS['long']})
+       OR (st.stratum = 'short' AND hh.h < {_SAMP_CUTS['short']})
+    ORDER BY st.doc_id
+"""
+
+# The full image-prep chain replayed over the pinned fixture:
+# exact-dedup survivors -> brute-force threshold pairs ->
+# recursive-CTE components -> window survivor -> power-sum split
+# hash.  Two engines, two unrelated algorithms per stage, identical
+# row-level output.
+_IMG_SPLIT_W = {"train": 0.9, "val": 0.05, "test": 0.05}
+ORACLE_SQL["images_clean_pipeline"] = ("""
+    WITH RECURSIVE
+    k AS (SELECT phash, MIN(image_id) AS image_id
+          FROM '{fix}/images_phash.parquet' GROUP BY phash),
+    p AS (SELECT a.phash AS id_a, b.phash AS id_b
+          FROM k a, k b
+          WHERE a.phash < b.phash
+            AND bit_count(xor(a.phash, b.phash)) <= 4),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, l) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+        UNION
+        SELECT e.u, r.l FROM e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS phash, MIN(l) AS component_id
+            FROM reach GROUP BY u),
+    tot AS (SELECT k.image_id, k.phash,
+                   COALESCE(lab.component_id, k.phash) AS cid
+            FROM k LEFT JOIN lab ON lab.phash = k.phash),
+    sv AS (SELECT image_id, phash FROM (
+               SELECT image_id, phash,
+                      ROW_NUMBER() OVER (PARTITION BY cid
+                                         ORDER BY image_id) AS rn
+               FROM tot) t WHERE rn = 1),
+""".format(fix=_FIXTURE_DIR)
+    + smp.hash_cte_sql("sv", "image_id", "split:") + """
+    SELECT """ + smp.split_case_sql(_IMG_SPLIT_W) + """ AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(sv.image_id) AS min_id,
+           MAX(sv.image_id) AS max_id,
+           CAST(SUM(((sv.phash % 1000003) + 1000003) % 1000003)
+                AS BIGINT) AS phash_witness
+    FROM sv JOIN hh ON hh.id = sv.image_id
+    GROUP BY 1 ORDER BY split
+""")
+
+# concatenation (not .format) so nothing inside the generated
+# minhash SQL can collide with format braces
+ORACLE_SQL["doc_dup_clusters"] = (
+    """
+    WITH RECURSIVE
+    p AS (""" + _sk.minhash_pairs_oracle_sql(
+        num_hashes=64, bands=8, shingle=5, threshold=0.8) + """),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, l) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+        UNION
+        SELECT e.u, r.l FROM e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS doc_id, MIN(l) AS component_id
+            FROM reach GROUP BY u)
+    SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM lab GROUP BY component_id ORDER BY component_id
+""")

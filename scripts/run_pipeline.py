@@ -34,7 +34,7 @@ def main():
                            fingerprint=f"n={n}")
     counts = {k: res[k].count() for k in
               ("tiles", "nearest", "in_polygon", "invariants",
-               "tile_stats")}
+               "dedup_split", "tile_stats")}
     from pyspark.sql import functions as F
     n_psnr_fail = (res["invariants"]
                    .filter(~F.col("psnr_ok")).count())

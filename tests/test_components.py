@@ -1,0 +1,122 @@
+"""Connected-components (large/small-star) vs a driver-side
+union-find on random and adversarial graphs, plus the dedup-cluster
+composition the registered queries use."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from geographiclib_go_spark.operators import components as cc
+
+
+def _union_find(n_nodes, edges):
+    """Reference labeling: component id = min node id (plain DSU)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in list(parent)}
+
+
+def _labels(df):
+    return {int(r["id"]): int(r["component_id"]) for r in df.collect()}
+
+
+def _check(spark, edges, max_iter=30):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _labels(cc.connected_components(df, max_iter=max_iter))
+    want = _union_find(None, edges)
+    # canonicalize union-find roots to the component minimum
+    comp_min = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[r] for x, r in want.items()}
+    assert got == want
+    return got
+
+
+def test_simple_merge(spark):
+    # A~B, B~C, D~E: two clusters {1,2,3} and {7,8}
+    got = _check(spark, [(1, 2), (2, 3), (7, 8)])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_duplicate_and_reversed_pairs(spark):
+    got = _check(spark, [(2, 1), (1, 2), (2, 3), (3, 1)])
+    assert set(got.values()) == {1}
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    # worst-case diameter: a 400-node path; large/small-star must
+    # land the single min label in O(log n) alternations, not O(n)
+    edges = [(i, i + 1) for i in range(400)]
+    random.Random(7).shuffle(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out, rounds = cc.connected_components(df, with_stats=True)
+    got = _labels(out)
+    want = _union_find(None, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 401
+    assert len(want) == 401
+    assert rounds <= 14, rounds
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        nodes = rng.sample(range(10_000), 120)
+        edges = [(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, edges)
+
+
+def test_singletons_not_emitted_and_empty_input(spark):
+    df = spark.createDataFrame([(5, 5)], "id_a long, id_b long")
+    out = cc.connected_components(df)
+    assert out.count() == 0
+    assert out.columns == ["id", "component_id"]
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                               "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc.connected_components(df, max_iter=1)
+
+
+def test_image_dup_components_consistent_with_pairs(spark, sf_dir):
+    """Every pair's endpoints share a label; labels are component
+    minima; cluster image counts tie out to the full table."""
+    from geographiclib_go_spark import queries as Q
+    from geographiclib_go_spark.operators import dedup as ded
+    from geographiclib_go_spark.sources import images as im
+
+    out = Q.image_dup_components(spark, sf_dir)
+    rows = out.collect()
+    n_total = sum(int(r["n_images"]) for r in rows)
+    assert n_total == Q._IMG_QUERY_N
+    # labels of paired phashes agree
+    imgs = im.generate_image_index(spark, Q._IMG_QUERY_N)
+    sigs = imgs.select("phash").distinct()
+    pairs = ded.hamming_band_pairs(sigs, sig_col="phash",
+                                   id_col="phash", max_hamming=4)
+    lab = _labels(cc.connected_components(pairs))
+    for p in pairs.collect():
+        assert lab[int(p["id_a"])] == lab[int(p["id_b"])]
+    for node, label in lab.items():
+        assert label <= node
+        assert lab[label] == label
