@@ -36,8 +36,14 @@ def _labels(df):
 
 
 def _check(spark, edges, max_iter=30):
+    """Both strategies must equal the union-find reference (so the
+    single-task numpy closure and the distributed star alternation
+    are parity-tested against each other on every graph here)."""
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = _labels(cc.connected_components(df, max_iter=max_iter))
+    got = _labels(cc.connected_components(df, max_iter=max_iter,
+                                          strategy="local"))
+    got_star = _labels(cc.connected_components(df, max_iter=max_iter,
+                                               strategy="star"))
     want = _union_find(None, edges)
     # canonicalize union-find roots to the component minimum
     comp_min = {}
@@ -45,6 +51,7 @@ def _check(spark, edges, max_iter=30):
         comp_min[r] = min(comp_min.get(r, x), x)
     want = {x: comp_min[r] for x, r in want.items()}
     assert got == want
+    assert got_star == want
     return got
 
 
@@ -65,7 +72,8 @@ def test_long_path_converges_in_log_rounds(spark):
     edges = [(i, i + 1) for i in range(400)]
     random.Random(7).shuffle(edges)
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out, rounds = cc.connected_components(df, with_stats=True)
+    out, rounds = cc.connected_components(df, with_stats=True,
+                                          strategy="star")
     got = _labels(out)
     want = _union_find(None, edges)
     assert set(got.values()) == {0}
@@ -95,7 +103,20 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(64)],
                                "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        cc.connected_components(df, max_iter=1)
+        cc.connected_components(df, max_iter=1, strategy="star")
+
+
+def test_auto_dispatches_by_edge_count(spark):
+    """auto = local below the threshold, star above it; identical
+    labels either way."""
+    edges = [(i, i + 1) for i in range(50)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out, rounds = cc.connected_components(df, with_stats=True)
+    assert rounds == 0  # local path
+    out2, rounds2 = cc.connected_components(df, with_stats=True,
+                                            local_threshold=10)
+    assert rounds2 >= 1  # forced onto the star path
+    assert _labels(out) == _labels(out2)
 
 
 def test_image_dup_components_consistent_with_pairs(spark, sf_dir):
