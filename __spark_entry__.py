@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": Q.tile_pyramid,
         "tile_counts_salted": Q.tile_counts_salted,
         "pts_geohash_rollup": Q.pts_geohash_rollup,
+        "pts_dbscan": Q.pts_dbscan,
         "raster_coverage": Q.raster_coverage,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,

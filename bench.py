@@ -84,7 +84,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "image_phash_dedup", "image_phash_near_dup", "image_row_invariants",
         "image_dup_components", "images_clean_pipeline",
         "doc_dup_clusters", "doc_train_val_split",
-        "doc_stratified_sample", "pts_geohash_rollup",
+        "doc_stratified_sample", "pts_geohash_rollup", "pts_dbscan",
     ]
     for name in headline:
         fn = getattr(Q, name)

@@ -32,6 +32,7 @@ from geographiclib_go_spark.kernels import caps as C
 from geographiclib_go_spark.functions.geodesic_udfs import (
     make_direct_udf, make_gnomonic_fwd_udf, make_inverse_udf,
     make_waypoint_udf)
+from geographiclib_go_spark.operators import clustering as cl
 from geographiclib_go_spark.operators import components as cc
 from geographiclib_go_spark.operators import dedup as ded
 from geographiclib_go_spark.operators import geohash as gh
@@ -1024,6 +1025,46 @@ def pts_geohash_rollup(spark, sf_dir):
                  F.countDistinct("gh6").alias("n_cells"),
                  F.min("gh6").alias("first_cell"))
             .orderBy("gh4"))
+
+
+def _place_points(spark, sf_dir) -> DataFrame:
+    """Planted-cluster point table for density clustering: 240
+    closed-form centers with +/-1 degree member offsets, every 11th
+    custkey scattered uniformly (noise).  Same construction idea as
+    the planted near-dups that make the LSH oracles provable: the
+    cluster structure is a pure function of c_custkey, so DuckDB
+    rebuilds the identical table.  eps=200 km against this layout has
+    measured clearance to the nearest pair distance at sf 0.001/0.01/
+    0.1 (measured; 16.5 m at sf0.1), so threshold membership cannot flip between the
+    Karney f=0 kernel and DuckDB's haversine."""
+    c = F.col("c_custkey").cast("long")
+    k = c % 240
+    clat = ((k * 37) % 140) - 70 + F.lit(0.5)
+    clon = ((k * 73) % 344) - 172 + F.lit(0.5)
+    scat = (c % 11) == 0
+    return (_t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(scat, ((c * 9973) % 16000) / 100.0 - 80.0)
+        .otherwise(clat + (((c * 31) % 200) / 100.0 - 1.0)).alias("lat"),
+        F.when(scat, ((c * 7919) % 36000) / 100.0 - 180.0)
+        .otherwise(clon + (((c * 53) % 200) / 100.0 - 1.0)).alias("lon")))
+
+
+def pts_dbscan(spark, sf_dir):
+    """Geodesic DBSCAN (operators/clustering.py): eps-neighborhood
+    celled self-join -> core test -> connected components of the
+    core-core graph -> deterministic border assignment, on the
+    planted-cluster table at eps=200 km / min_pts=4 with the sphere
+    kernel.  Emits every point's role AND cluster id (noise = -1),
+    so the hash gate certifies the complete clustering decision per
+    row; the oracle replays it brute-force + recursive-CTE."""
+    pts = _place_points(spark, sf_dir)
+    out = cl.dbscan(pts, eps_m=200_000.0, min_pts=4,
+                    id_col="c_custkey", a=SPHERE_A, f=0.0)
+    return (out.select("id", "role",
+                       F.coalesce("cluster_id", F.lit(-1))
+                       .alias("cluster_id"))
+            .orderBy("id"))
 
 
 def doc_train_val_split(spark, sf_dir):
@@ -2294,6 +2335,59 @@ ORACLE_SQL["pts_geohash_rollup"] = f"""
            CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_cells,
            MIN(gh) AS first_cell
     FROM gh GROUP BY 1 ORDER BY gh4
+"""
+
+# DBSCAN oracle: brute-force eps join (lat-band prefiltered — the
+# meridian bound |dlat| <= eps/(pi R/180) = 1.7986 deg makes the
+# band a provable superset) + core count + recursive-CTE min-label
+# closure of the core-core graph + min-cluster border assignment.
+_PLACE_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+    "CASE WHEN c_custkey % 11 = 0 "
+    "THEN ((CAST(c_custkey AS BIGINT) * 9973) % 16000) / 100.0 - 80.0 "
+    "ELSE (((c_custkey % 240) * 37) % 140) - 70 + 0.5 "
+    "  + ((CAST(c_custkey AS BIGINT) * 31) % 200) / 100.0 - 1.0 END AS lat, "
+    "CASE WHEN c_custkey % 11 = 0 "
+    "THEN ((CAST(c_custkey AS BIGINT) * 7919) % 36000) / 100.0 - 180.0 "
+    "ELSE (((c_custkey % 240) * 73) % 344) - 172 + 0.5 "
+    "  + ((CAST(c_custkey AS BIGINT) * 53) % 200) / 100.0 - 1.0 END AS lon "
+    "FROM customer")
+ORACLE_SQL["pts_dbscan"] = f"""
+    WITH RECURSIVE
+    pts AS ({_PLACE_SQL}),
+    pr AS (SELECT a.c_custkey AS src, b.c_custkey AS dst
+           FROM pts a, pts b
+           WHERE ABS(a.lat - b.lat) <= 1.8
+             AND 2.0 * {SPHERE_A} * ASIN(SQRT(
+                   POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                   * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)))
+                 <= 200000.0),
+    deg AS (SELECT src, COUNT(*) AS n FROM pr GROUP BY src),
+    core AS (SELECT src AS node FROM deg WHERE n >= 4),
+    ce AS (SELECT pr.src AS u, pr.dst AS v FROM pr
+           JOIN core c1 ON pr.src = c1.node
+           JOIN core c2 ON pr.dst = c2.node
+           WHERE pr.src <> pr.dst),
+    reach(u, l) AS (
+        SELECT node, node FROM core
+        UNION
+        SELECT ce.u, r.l FROM ce JOIN reach r ON ce.v = r.u),
+    clab AS (SELECT u AS node, MIN(l) AS cluster_id
+             FROM reach GROUP BY u),
+    blab AS (SELECT pr.src AS node, MIN(c.cluster_id) AS cluster_id
+             FROM pr JOIN clab c ON pr.dst = c.node
+             WHERE pr.src NOT IN (SELECT node FROM core)
+             GROUP BY pr.src)
+    SELECT p.c_custkey AS id,
+           CASE WHEN cl.node IS NOT NULL THEN 'core'
+                WHEN bl.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.cluster_id, bl.cluster_id, -1) AS cluster_id
+    FROM pts p
+    LEFT JOIN clab cl ON p.c_custkey = cl.node
+    LEFT JOIN blab bl ON p.c_custkey = bl.node
+    ORDER BY id
 """
 
 # Deterministic split / stratified-sample oracles: identical Horner
