@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_view": Q.events_asof_view,
         "events_sessionize": Q.events_sessionize,
         "events_value_percentiles": Q.events_value_percentiles,
+        "events_track_stats": Q.events_track_stats,
         "part_type_pivot": Q.part_type_pivot,
         "part_type_unpivot": Q.part_type_unpivot,
         # spatial kernels + joins (sphere variants SQL-oracled)

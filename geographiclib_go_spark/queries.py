@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 
 from geographiclib_go_spark.kernels import caps as C
 from geographiclib_go_spark.functions.geodesic_udfs import (
-    make_direct_udf, make_gnomonic_fwd_udf, make_inverse_udf,
-    make_waypoint_udf)
+    make_direct_udf, make_gnomonic_fwd_udf, make_inverse_s12_udf,
+    make_inverse_udf, make_waypoint_udf)
 from geographiclib_go_spark.operators import clustering as cl
 from geographiclib_go_spark.operators import components as cc
 from geographiclib_go_spark.operators import dedup as ded
@@ -320,6 +320,39 @@ def events_value_percentiles(spark, sf_dir):
                  .alias("p99"),
                  F.count("*").alias("n"))
             .orderBy("event_type"))
+
+
+def events_track_stats(spark, sf_dir):
+    """Trajectory analytics: kernel-inside-window composition.  Each
+    event is a position ping (closed-form f(event_id), confined to a
+    [-30,30]x[-60,60] box so no leg approaches the antipode — that
+    keeps DuckDB's haversine well-conditioned); per-user legs come
+    from the geodesic Inverse on LAG'd coordinates, rounded to whole
+    meters (measured >= 2.1e-6 m boundary clearance at all three
+    sfs, ~400x the cross-engine float disagreement) and summed as
+    exact integers.  Scale shape: one window shuffle on user_id, the
+    kernel vectorized over Arrow batches inside it — no second pass,
+    no driver state."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id").cast("long")
+    pos = ev.select("user_id", "ts", "event_id",
+                    (((e * 131) % 6000) / 100.0 - 30.0).alias("lat"),
+                    (((e * 211) % 12000) / 100.0 - 60.0).alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    inv = make_inverse_s12_udf(a=SPHERE_A, f=0.0)
+    legs = (pos
+            .withColumn("_plat", F.lag("lat").over(w))
+            .withColumn("_plon", F.lag("lon").over(w))
+            .filter(F.col("_plat").isNotNull())
+            .withColumn("leg_m",
+                        F.round(inv(F.col("_plat"), F.col("_plon"),
+                                    F.col("lat"), F.col("lon")))
+                        .cast("long")))
+    return (legs.groupBy("user_id")
+            .agg((F.count("*") + 1).alias("n_pings"),
+                 F.sum("leg_m").alias("track_m"),
+                 F.max("leg_m").alias("max_leg_m"))
+            .orderBy("user_id"))
 
 
 def part_type_pivot(spark, sf_dir):
@@ -1866,6 +1899,32 @@ ORACLE_SQL["events_value_percentiles"] = """
            ROUND(quantile_cont(value, 0.99), 6) AS p99,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["events_track_stats"] = f"""
+    WITH pos AS (
+      SELECT user_id, ts, event_id,
+             ((CAST(event_id AS BIGINT) * 131) % 6000) / 100.0 - 30.0
+               AS lat,
+             ((CAST(event_id AS BIGINT) * 211) % 12000) / 100.0 - 60.0
+               AS lon
+      FROM events),
+    lg AS (
+      SELECT user_id, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+      FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    legs AS (
+      SELECT user_id,
+             CAST(ROUND(2.0 * {SPHERE_A} * ASIN(SQRT(
+                 POW(SIN(RADIANS(lat - plat) / 2), 2)
+                 + COS(RADIANS(plat)) * COS(RADIANS(lat))
+                 * POW(SIN(RADIANS(lon - plon) / 2), 2)))) AS BIGINT)
+               AS leg_m
+      FROM lg WHERE plat IS NOT NULL)
+    SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_pings,
+           CAST(SUM(leg_m) AS BIGINT) AS track_m,
+           MAX(leg_m) AS max_leg_m
+    FROM legs GROUP BY user_id ORDER BY user_id
 """
 
 ORACLE_SQL["doc_bpe_tokens"] = """

@@ -185,3 +185,124 @@ def streaming_image_invariants(image_stream: DataFrame) -> DataFrame:
     invariants stage, flagging lossy-beyond-40dB rows in flight."""
     from geographiclib_go_spark.sources import images as im
     return im.decode_invariants(image_stream)
+
+
+# --------------------------------------------------------------------------
+# Streaming geofencing: per-device enter/exit transitions
+# --------------------------------------------------------------------------
+
+GEOFENCE_SCHEMA = T.StructType([
+    T.StructField("device_id", T.LongType(), False),
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("fence_id", T.LongType(), False),
+    T.StructField("transition", T.StringType(), False),
+])
+
+_GEOFENCE_STATE = T.StructType([
+    T.StructField("mask", T.LongType(), False),
+    T.StructField("seq", T.LongType(), False),
+])
+
+
+def _geofence_fold_factory(fences, a, f):
+    """Shared fold kernel for the streaming (stateful) and batch
+    (stateless applyInPandas) geofence paths.  `fences` is a tuple of
+    (fence_id, lat, lon, radius_m), <= 63 entries so the inside-set
+    packs into one long — the per-device state is TWO longs, the
+    smallest possible stateful-streaming footprint."""
+    import numpy as np
+
+    from geographiclib_go_spark.kernels import caps as C
+    from geographiclib_go_spark.kernels import inverse as kinv
+    from geographiclib_go_spark.kernels.geodesic import GeodesicModel
+
+    if len(fences) > 63:
+        raise ValueError("at most 63 fences per fold (one-long mask)")
+    fid = np.array([x[0] for x in fences], dtype=np.int64)
+    flat = np.array([x[1] for x in fences], dtype=np.float64)
+    flon = np.array([x[2] for x in fences], dtype=np.float64)
+    frad = np.array([x[3] for x in fences], dtype=np.float64)
+    bits = (np.int64(1) << np.arange(len(fences), dtype=np.int64))
+
+    def fold_pings(device_id, pdf, mask0):
+        """(out_rows, last_mask, last_seq) for in-order pings."""
+        g = GeodesicModel(a, f)
+        lat = pdf["lat"].to_numpy(np.float64)
+        lon = pdf["lon"].to_numpy(np.float64)
+        seq = pdf["seq"].to_numpy(np.int64)
+        n, m = lat.size, fid.size
+        # n x m geodesic distances in ONE kernel sweep
+        s12 = kinv.gen_inverse(
+            g, np.repeat(lat, m), np.repeat(lon, m),
+            np.tile(flat, n), np.tile(flon, n),
+            C.DISTANCE)["s12"].reshape(n, m)
+        inside = s12 <= frad[None, :]
+        masks = (inside * bits[None, :]).sum(axis=1).astype(np.int64)
+        prev = np.concatenate(([np.int64(mask0)], masks[:-1]))
+        changed = masks ^ prev
+        out = {"device_id": [], "seq": [], "fence_id": [],
+               "transition": []}
+        rows_i, fences_j = np.nonzero((changed[:, None] & bits[None, :])
+                                      != 0)
+        for i, j in zip(rows_i, fences_j):
+            out["device_id"].append(int(device_id))
+            out["seq"].append(int(seq[i]))
+            out["fence_id"].append(int(fid[j]))
+            out["transition"].append(
+                "enter" if (masks[i] & bits[j]) else "exit")
+        last_mask = int(masks[-1]) if n else int(mask0)
+        last_seq = int(seq[-1]) if n else -1
+        return pd.DataFrame(out), last_mask, last_seq
+
+    return fold_pings
+
+
+def geofence_transitions(ping_stream: DataFrame, fences,
+                         a: float = 6378137.0,
+                         f: float = 1 / 298.257223563) -> DataFrame:
+    """Streaming enter/exit detection against circular geodesic
+    fences: applyInPandasWithState keyed by device_id, state = (last
+    inside-bitmask, last seq) — two longs per device, so state size
+    is O(devices), never O(pings).  Contract (same as the polygon
+    fold): a device's pings arrive in seq order ACROSS micro-batches;
+    within a batch they are sorted here.  Transitions are emitted the
+    instant the inside-set of a ping differs from the previous one,
+    including across micro-batch boundaries (the state carries the
+    mask over).  Batch parity: geofence_transitions_batch runs the
+    IDENTICAL fold stateless — pytest feeds the same pings through a
+    two-file stream and the batch path and requires equal output."""
+    fences = tuple(tuple(x) for x in fences)
+    fold = _geofence_fold_factory(fences, a, f)
+
+    def step(key, pdf_iter, state: GroupState):
+        mask0, _ = state.get if state.exists else (0, -1)
+        frames = [p.sort_values("seq") for p in pdf_iter]
+        pdf = (pd.concat(frames).sort_values("seq") if frames
+               else pd.DataFrame(columns=["seq", "lat", "lon"]))
+        out, last_mask, last_seq = fold(key[0], pdf, mask0)
+        if len(pdf):
+            state.update((last_mask, last_seq))
+        yield out
+
+    return (ping_stream.groupBy("device_id")
+            .applyInPandasWithState(step, GEOFENCE_SCHEMA,
+                                    _GEOFENCE_STATE, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def geofence_transitions_batch(pings: DataFrame, fences,
+                               a: float = 6378137.0,
+                               f: float = 1 / 298.257223563) -> DataFrame:
+    """The same geofence fold as a stateless batch operator
+    (applyInPandas per device, initial mask 0 = outside everything):
+    the oracle twin the streaming test compares against."""
+    fences = tuple(tuple(x) for x in fences)
+    fold = _geofence_fold_factory(fences, a, f)
+
+    def run(pdf):
+        out, _, _ = fold(int(pdf["device_id"].iloc[0]),
+                         pdf.sort_values("seq"), 0)
+        return out
+
+    return (pings.groupBy("device_id")
+            .applyInPandas(run, GEOFENCE_SCHEMA))
