@@ -49,7 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_view": Q.events_asof_view,
         "events_sessionize": Q.events_sessionize,
         "events_value_percentiles": Q.events_value_percentiles,
+        "events_value_sketch_quantiles": Q.events_value_sketch_quantiles,
         "events_track_stats": Q.events_track_stats,
+        "events_interval_join": Q.events_interval_join,
         "part_type_pivot": Q.part_type_pivot,
         "part_type_unpivot": Q.part_type_unpivot,
         # spatial kernels + joins (sphere variants SQL-oracled)

@@ -67,3 +67,53 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     for c in right_cols:
         out = out.withColumn(f"{prefix}{c}", F.col(f"_payload.{c}"))
     return out.drop("_payload")
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  l_start: str, l_end: str, r_start: str, r_end: str,
+                  bucket: int = 21_600_000_000,
+                  strategy: str = "bucket") -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose half-open
+    integer intervals [l_start, l_end) x [r_start, r_end) strictly
+    overlap.  Interval bounds are integer columns (the suite uses
+    epoch microseconds) so the overlap predicate is float-free.
+
+    strategy='bucket' — the large x large scale plan.  Both sides
+    explode to the fixed-width buckets their interval covers
+    (F.sequence, JVM-side), the join is a plain hash equi-join on the
+    bucket key plus the overlap predicate, and instead of a distinct
+    pass each surviving pair is kept only in its CANONICAL bucket —
+    the bucket containing greatest(l_start, r_start), the overlap's
+    first instant.  A pair meeting in k shared buckets is emitted by
+    exactly one of them, so the plan has no dedup shuffle: explode,
+    one equi-join, filter.  At 100 TB the bucket width trades fan-out
+    (interval_len / bucket replicas per row) against per-bucket
+    populations; intervals are assumed short relative to the span of
+    the data (activity windows, not year-long ranges).
+
+    strategy='broadcast' — small right side: broadcast nested-loop
+    with the raw predicate, no explode.  Used as the oracle twin in
+    strategy-agreement tests.
+    """
+    if strategy == "broadcast":
+        cond = ((F.col(l_start) < F.col(r_end))
+                & (F.col(r_start) < F.col(l_end)))
+        return left.join(F.broadcast(right), cond, "inner")
+
+    if strategy != "bucket":
+        raise ValueError(f"unknown interval_join strategy {strategy!r}")
+
+    b = F.lit(int(bucket)).cast("long")
+    lb = left.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.floor(F.col(l_start) / b),
+            F.floor((F.col(l_end) - F.lit(1)) / b))))
+    rb = right.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.floor(F.col(r_start) / b),
+            F.floor((F.col(r_end) - F.lit(1)) / b))))
+    joined = lb.join(rb, "_bk", "inner").filter(
+        (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end)))
+    canonical = F.floor(F.greatest(F.col(l_start), F.col(r_start)) / b)
+    return joined.filter(F.col("_bk") == canonical).drop("_bk")

@@ -355,6 +355,99 @@ def events_track_stats(spark, sf_dir):
             .orderBy("user_id"))
 
 
+# maintenance windows for the interval-overlap join: win k starts
+# 2024-01-01T00:00Z + k*16 h and lasts (2 + (k*5) % 9) hours — all
+# exact integer microseconds, identical literals in both engines
+_EPOCH_2024 = 1_704_067_200_000_000
+_WIN_N = 40
+
+
+def events_interval_join(spark, sf_dir):
+    """Interval-overlap join (temporal range join): per-user daily
+    activity spans [first ping, last ping + 1us) x synthetic
+    maintenance windows, every strictly-overlapping pair with its
+    overlap length.  The engine plan is the dedup-free bucketed
+    interval join (operators/temporal.py interval_join): both sides
+    explode to the 6 h buckets they cover, hash equi-join on the
+    bucket key, and each pair survives only in the bucket holding the
+    overlap's first instant — no distinct pass.  All bounds are
+    integer microseconds, so the oracle (a plain range-predicate
+    join) is float-free."""
+    from geographiclib_go_spark.operators import temporal as tp
+    ev = _t(spark, sf_dir, "events")
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.lit(86_400_000_000).cast("long")
+    spans = (ev.select("user_id", mic.alias("_mic"))
+             .groupBy("user_id", F.floor(F.col("_mic") / day)
+                      .alias("day_idx"))
+             .agg(F.min("_mic").alias("a_start"),
+                  (F.max("_mic") + F.lit(1)).alias("a_end")))
+    k = F.col("id")
+    wins = spark.range(_WIN_N).select(
+        k.alias("win_id"),
+        (F.lit(_EPOCH_2024) + k * F.lit(57_600_000_000))
+        .alias("w_start"),
+        (F.lit(_EPOCH_2024) + k * F.lit(57_600_000_000)
+         + (F.lit(2) + (k * 5) % 9) * F.lit(3_600_000_000))
+        .alias("w_end"))
+    pairs = tp.interval_join(spans, wins, "a_start", "a_end",
+                             "w_start", "w_end",
+                             bucket=21_600_000_000, strategy="bucket")
+    return (pairs.select(
+                "user_id", "day_idx", "win_id",
+                (F.least("a_end", "w_end")
+                 - F.greatest("a_start", "w_start")).alias("overlap_us"))
+            .orderBy("user_id", "day_idx", "win_id"))
+
+
+def events_value_sketch_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (DDSketch-shaped, base-2): event
+    values become exact integer cents, each lands in the bucket
+    (e, m) where e = floor(log2(cents)) — computed as
+    length(bin(cents)) - 1, a pure string/integer path that is
+    bit-identical in both engines (no transcendental log near a
+    boundary can flip a bucket) — and m = the top 6 mantissa bits.
+    Bucket upper bounds are exact integers, so the quantile estimate
+    (the smallest bucket whose cumulative count reaches ceil(q*n)) is
+    reproducible to the hash.  Relative error <= 2^-5 ~ 3%.
+
+    Scale shape: the sketch is ONE map-side-combinable groupBy
+    (type, e, m) — at 100 TB each executor emits at most a few
+    hundred partial bucket rows per type, the merge is a count sum,
+    and the quantile extraction runs on the tiny bucket table.  This
+    is the distributed-quantile pattern exact percentile() cannot
+    use (it must shuffle every raw value to one reducer per group)."""
+    ev = _t(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    e = (F.length(F.bin(F.col("iv"))) - 1).cast("long")
+    b = (ev.select("event_type", iv.alias("iv"))
+         .withColumn("e", e)
+         .withColumn("p2", F.pow(F.lit(2.0),
+                                 F.greatest(F.col("e") - 5, F.lit(0))
+                                 .cast("double")).cast("long"))
+         .withColumn("m", F.expr("iv div p2"))
+         .groupBy("event_type", "e", "m", "p2")
+         .agg(F.count("*").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("e", "m")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("event_type")
+    b = (b.withColumn("cum", F.sum("cnt").over(w))
+          .withColumn("n", F.sum("cnt").over(wt))
+          .withColumn("ub", (F.col("m") + 1) * F.col("p2") - 1))
+
+    def est(q):
+        t = F.expr(f"(n * {q} + 99) div 100")
+        return (F.min(F.when(F.col("cum") >= t, F.col("ub")))
+                / F.lit(100.0))
+
+    return (b.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 est(50).alias("p50_est"),
+                 est(90).alias("p90_est"),
+                 est(99).alias("p99_est"))
+            .orderBy("event_type"))
+
+
 def part_type_pivot(spark, sf_dir):
     """Conditional aggregation (pivot shape) on part size classes."""
     part = _t(spark, sf_dir, "part")
@@ -2538,3 +2631,62 @@ ORACLE_SQL["doc_dup_clusters"] = (
     SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM lab GROUP BY component_id ORDER BY component_id
 """)
+
+ORACLE_SQL["events_interval_join"] = f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+             MIN(epoch_us(ts)) AS a_start,
+             MAX(epoch_us(ts)) + 1 AS a_end
+      FROM events GROUP BY 1, 2
+    ),
+    wins AS (
+      SELECT k AS win_id,
+             {_EPOCH_2024} + k * 57600000000 AS w_start,
+             {_EPOCH_2024} + k * 57600000000
+               + (2 + (k * 5) % 9) * 3600000000 AS w_end
+      FROM (SELECT unnest(generate_series(0, {_WIN_N - 1})) AS k)
+    )
+    SELECT user_id, day_idx, win_id,
+           LEAST(a_end, w_end) - GREATEST(a_start, w_start)
+             AS overlap_us
+    FROM spans JOIN wins ON a_start < w_end AND w_start < a_end
+    ORDER BY user_id, day_idx, win_id
+"""
+
+ORACLE_SQL["events_value_sketch_quantiles"] = """
+    WITH iv AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS iv
+      FROM events
+    ),
+    bk AS (
+      SELECT event_type, iv,
+             LENGTH(bin(iv)) - 1 AS e,
+             CAST(POW(2, GREATEST(LENGTH(bin(iv)) - 1 - 5, 0))
+                  AS BIGINT) AS p2
+      FROM iv
+    ),
+    b AS (
+      SELECT event_type, e, m, p2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT event_type, e, p2, iv // p2 AS m FROM bk)
+      GROUP BY 1, 2, 3, 4
+    ),
+    c AS (
+      SELECT event_type, e, m, p2, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type
+                            ORDER BY e, m
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n,
+             (m + 1) * p2 - 1 AS ub
+      FROM b
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN ub END)
+             / 100.0 AS p50_est,
+           MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN ub END)
+             / 100.0 AS p90_est,
+           MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN ub END)
+             / 100.0 AS p99_est
+    FROM c GROUP BY event_type ORDER BY event_type
+"""

@@ -337,3 +337,72 @@ def test_route_intersections_plan_is_map_only(spark):
     plan = _plan(out)
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_interval_join_bucket_matches_broadcast(spark):
+    """The dedup-free bucketed interval join must return exactly the
+    broadcast nested-loop pairs — including pairs spanning many
+    buckets (emitted once, from the canonical bucket), touching
+    intervals (excluded: half-open strict overlap), and containment."""
+    import numpy as np
+    import pandas as pd
+    from geographiclib_go_spark.operators import temporal as tp
+
+    rng = np.random.default_rng(7)
+    B = 1000  # small bucket so intervals span many buckets
+    l_start = rng.integers(0, 50_000, 400)
+    l_pdf = pd.DataFrame({
+        "lid": np.arange(400), "ls": l_start,
+        "le": l_start + rng.integers(1, 12_000, 400)})
+    r_start = rng.integers(0, 50_000, 60)
+    r_pdf = pd.DataFrame({
+        "rid": np.arange(60), "rs": r_start,
+        "re": r_start + rng.integers(1, 9_000, 60)})
+    # plant: exact touch (no overlap), 1-unit overlap, containment
+    l_pdf.loc[0, ["ls", "le"]] = (100, 200)
+    r_pdf.loc[0, ["rs", "re"]] = (200, 300)      # touch: excluded
+    r_pdf.loc[1, ["rs", "re"]] = (199, 300)      # 1-unit overlap
+    r_pdf.loc[2, ["rs", "re"]] = (0, 60_000)     # contains everything
+
+    ldf, rdf = spark.createDataFrame(l_pdf), spark.createDataFrame(r_pdf)
+    cols = ["lid", "rid"]
+    got = (tp.interval_join(ldf, rdf, "ls", "le", "rs", "re",
+                            bucket=B, strategy="bucket")
+           .select(*cols).toPandas()
+           .sort_values(cols).reset_index(drop=True))
+    want = (tp.interval_join(ldf, rdf, "ls", "le", "rs", "re",
+                             strategy="broadcast")
+            .select(*cols).toPandas()
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # canonical-bucket dedup produced no duplicate pairs
+    assert not got.duplicated(cols).any()
+    # the planted cases behave as specified
+    pairs = set(map(tuple, got.values))
+    assert (0, 0) not in pairs and (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_sketch_quantiles_within_relative_error_bound(spark):
+    """The base-2/6-bit bucket sketch guarantees estimate in
+    [true, true*(1+2^-5)] by construction (upper bucket bound,
+    monotone buckets): check against exact percentiles on sf0.001."""
+    import math
+    import numpy as np
+    from geographiclib_go_spark import queries as Q
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           Q.events_value_sketch_quantiles(spark, sf).collect()}
+    raw = (spark.read.parquet(f"{sf}/events.parquet")
+           .select("event_type", "value").toPandas())
+    assert got and set(got) == set(raw.event_type.unique())
+    for t, grp in raw.groupby("event_type"):
+        vals = np.sort(np.round(grp.value.to_numpy() * 100)) / 100.0
+        n = len(vals)
+        for q in (50, 90, 99):
+            est = got[t][f"p{q}_est"]
+            # the sketch targets the k-th order statistic,
+            # k = ceil(q*n/100); its bucket upper bound overshoots
+            # by at most 2^-5 relative (plus the 1-cent grid)
+            tru = vals[math.ceil(q * n / 100) - 1]
+            assert tru <= est <= tru * (1 + 2**-5) + 0.01, \
+                (t, q, est, tru)
