@@ -448,6 +448,57 @@ def events_value_sketch_quantiles(spark, sf_dir):
             .orderBy("event_type"))
 
 
+# track_simplify layout: 33 points per customer on an exact 0.01-deg
+# integer grid — a drifting line plus a +/-0.05-deg nonlinear
+# perturbation, so DP keeps a nontrivial subset.  The single integer
+# numerator / 100.0 yields bit-identical doubles in Spark SQL and the
+# numpy fixture builder.  Clearance (asserted at fixture build): every
+# DP decision margin >= 1e-9 in sin-ratio units, ~1e6x the unit-vector
+# trig noise between Arrow-batch and builder evaluation shapes.
+_SIMPLIFY_EPS_M = 4000.0
+_SIMPLIFY_NPTS = 33
+
+
+def _track_points(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    c = F.col("c_custkey").cast("long")
+    i = F.col("i").cast("long")
+    pts = cust.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0),
+                             F.lit(_SIMPLIFY_NPTS - 1))).alias("i"))
+    num_lat = (((c * 9973) % 9000) - 4500 + i * ((c % 7) - 3)
+               + ((c * 31 + i * i * 17) % 11) - 5)
+    num_lon = (((c * 7919) % 24000) - 12000 + i * (((c * 13) % 9) - 4)
+               + ((c * 47 + i * i * 29) % 13) - 6)
+    return pts.select("c_custkey", "i",
+                      (num_lat / 100.0).alias("lat"),
+                      (num_lon / 100.0).alias("lon"))
+
+
+def track_simplify(spark, sf_dir):
+    """Geodesic Douglas-Peucker polyline simplification
+    (operators/simplify.py): per-customer 33-point tracks reduced at
+    eps=4 km line deviation; output is the kept-point count and the
+    exact kept-index bitmask (sum 2^i, fits a long).  The Spark plan
+    is ONE shuffle (groupBy collect_list) + one Arrow stage running
+    the level-synchronous batch DP over every track at once; the
+    oracle is the committed fixture built by the INDEPENDENT textbook
+    recursive implementation (scripts/build_fixtures.py) — two
+    unrelated control flows agreeing per bit on every mask."""
+    from geographiclib_go_spark.operators import simplify as sy
+    pts = _track_points(spark, sf_dir)
+    simp = sy.simplify_tracks(pts, "c_custkey", "i", "lat", "lon",
+                              eps_m=_SIMPLIFY_EPS_M)
+    mask = F.aggregate(
+        "kept_seq", F.lit(0).cast("long"),
+        lambda acc, s: acc + F.pow(F.lit(2.0), s).cast("long"))
+    return (simp.select("c_custkey",
+                        F.size("kept_seq").alias("n_kept"),
+                        mask.alias("kept_mask"))
+            .orderBy("c_custkey"))
+
+
 def part_type_pivot(spark, sf_dir):
     """Conditional aggregation (pivot shape) on part size classes."""
     part = _t(spark, sf_dir, "part")
@@ -2690,3 +2741,11 @@ ORACLE_SQL["events_value_sketch_quantiles"] = """
              / 100.0 AS p99_est
     FROM c GROUP BY event_type ORDER BY event_type
 """
+
+ORACLE_SQL["track_simplify"] = """
+    SELECT c.c_custkey, f.n_kept, f.kept_mask
+    FROM customer c
+    JOIN '{fix}/track_simplify.parquet' f
+      ON f.c_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+""".format(fix=_FIXTURE_DIR)

@@ -186,6 +186,108 @@ def build_images_invariants(n: int = 5000, out_dir: str = None) -> str:
     return path
 
 
+def simplify_track_points(n: int):
+    """The track_simplify layout (queries._track_points) in numpy:
+    exact integer numerators / 100.0, bit-identical to Spark SQL."""
+    npts = Q._SIMPLIFY_NPTS
+    c = np.repeat(np.arange(n, dtype=np.int64), npts)
+    i = np.tile(np.arange(npts, dtype=np.int64), n)
+    num_lat = (((c * 9973) % 9000) - 4500 + i * ((c % 7) - 3)
+               + ((c * 31 + i * i * 17) % 11) - 5)
+    num_lon = (((c * 7919) % 24000) - 12000 + i * (((c * 13) % 9) - 4)
+               + ((c * 47 + i * i * 29) % 13) - 6)
+    lat = (num_lat / 100.0).reshape(n, npts)
+    lon = (num_lon / 100.0).reshape(n, npts)
+    return lat, lon
+
+
+def _dp_recursive_instrumented(u, thr):
+    """dp_recursive's exact control flow plus decision-margin
+    capture: min |top1 - thr| (split decision) and min strict
+    top1-top2 gap (argmax decision), plus exact-tie count."""
+    from geographiclib_go_spark.operators import simplify as sy
+    L = u.shape[0]
+    keep = np.zeros(L, dtype=bool)
+    keep[0] = keep[L - 1] = True
+    min_split, min_gap, ties = np.inf, np.inf, 0
+    stack = [(0, L - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        r = sy._dev_ratio(u[i], u[j], u[i + 1:j])
+        k_rel = 0
+        best = r[0]
+        for t in range(1, r.shape[0]):
+            if r[t] > best:
+                best = r[t]
+                k_rel = t
+        min_split = min(min_split, abs(best - thr))
+        if r.shape[0] > 1:
+            second = np.partition(r, -2)[-2]
+            if second == best and np.count_nonzero(r == best) > 1:
+                ties += 1
+            elif second < best:
+                min_gap = min(min_gap, best - second)
+        if best > thr:
+            k = i + 1 + k_rel
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep, min_split, min_gap, ties
+
+
+def build_track_simplify(n: int, out_dir: str = None) -> str:
+    """DP oracle via the textbook recursive implementation.
+
+    Determinism story (differs from the clearance-margin protocol the
+    threshold queries use): the integer-grid layout is full of
+    symmetric triples, so exact AND one-ulp top-2 ratio ties are
+    structural — margins cannot be planted away.  Instead the
+    guarantee is bit-level: numpy's elementwise ops and trig are
+    shape/offset-invariant (verified on this numpy: identical bits
+    scalar vs SIMD vs strided), both implementations consume the same
+    doubles and share the first-index tie rule — and this builder
+    ASSERTS dp_batch == dp_recursive on every registered track, so
+    the committed fixture is provably what the Spark operator
+    computes, while remaining the product of an independent control
+    flow."""
+    from geographiclib_go_spark.operators import simplify as sy
+    lat, lon = simplify_track_points(n)
+    npts = Q._SIMPLIFY_NPTS
+    thr = np.sin(Q._SIMPLIFY_EPS_M / 6371000.0)
+    u = sy.unit_vectors(lat, lon)
+    n_kept = np.empty(n, dtype=np.int64)
+    mask = np.empty(n, dtype=np.int64)
+    worst_split, worst_gap, total_ties = np.inf, np.inf, 0
+    keeps = np.zeros((n, npts), dtype=bool)
+    for c in range(n):
+        keep, ms, mg, ties = _dp_recursive_instrumented(u[c], thr)
+        worst_split = min(worst_split, ms)
+        worst_gap = min(worst_gap, mg)
+        total_ties += ties
+        keeps[c] = keep
+        n_kept[c] = keep.sum()
+        mask[c] = (1 << np.flatnonzero(keep).astype(np.int64)).sum()
+    # the bit-level gate: the operator's batch kernel must agree with
+    # the oracle recursion on EVERY registered track
+    got = sy.dp_batch(lat, lon, np.full(n, npts), Q._SIMPLIFY_EPS_M)
+    bad = np.flatnonzero((got != keeps).any(axis=1))
+    assert bad.size == 0, f"batch != recursive on tracks {bad[:10]}"
+    print(f"track_simplify margins: split {worst_split:.3e} "
+          f"gap {worst_gap:.3e} exact-ties {total_ties} "
+          f"kept {n_kept.sum()}/{n * npts}")
+    tbl = pa.table({
+        "c_custkey": np.arange(n, dtype=np.int64),
+        "n_kept": n_kept,
+        "kept_mask": mask,
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "track_simplify.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15000
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -199,6 +301,8 @@ def main():
     print("wrote", p4)
     p5 = build_images_invariants()
     print("wrote", p5)
+    p6 = build_track_simplify(n)
+    print("wrote", p6)
 
 
 if __name__ == "__main__":
