@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pts_geohash_rollup": Q.pts_geohash_rollup,
         "pts_dbscan": Q.pts_dbscan,
         "raster_coverage": Q.raster_coverage,
+        "region_dissolve": Q.region_dissolve,
         "ellip_nearest_landmark": Q.ellip_nearest_landmark,
         "sphere_nearest_landmark": Q.sphere_nearest_landmark,
         "route_distance": Q.route_distance,

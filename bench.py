@@ -76,7 +76,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "route_distance", "ellip_route_nearest",
         "route_crossings", "ellip_route_crossings",
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
-        "raster_coverage",
+        "raster_coverage", "region_dissolve",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
         "docs_clean_pipeline",
         "doc_minhash_pairs",

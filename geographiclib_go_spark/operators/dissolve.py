@@ -1,0 +1,98 @@
+"""Dissolve / union-area via cell rasterization.
+
+Vector union of many overlapping polygons is a pairwise-geometry
+problem that does not distribute; the engine's scale plan rasterizes:
+each polygon independently emits the grid cells whose CENTER it
+contains (a map-side explode, fan-out = polygon area / cell area),
+the union is a DISTINCT on the cell key — one shuffle, the only one —
+and the area is an exact integer sum of per-cell spherical areas.
+Accuracy is the cell size; at 100 TB you pick the grid the same way
+tile_res is picked elsewhere (finer grid = more fan-out rows, same
+plan).
+
+Everything ahead of the final area lookup is integer arithmetic:
+boxes arrive as integer hundredths of a degree, a 0.1-deg cell's
+center is (2i+1)/20 deg, so center-in-box is the integer test
+10*i + 5 >= lo_h AND 10*i + 5 < hi_h, and the covered index range is
+i in [ (lo_h+4) div 10 - OFF, (hi_h+4) div 10 - 1 - OFF ] after the
+positivity shift OFF (integer div truncates toward zero in Spark but
+floors in DuckDB — shifting into positives makes them agree).  The
+per-cell spherical band area R^2 * dlon * (sin top - sin bot) is the
+only float, rounded to whole m^2 per CELL (measured clearance to the
+rounding boundary >= 3.4e-4 m^2 over all 1200 rows, ~3000x the
+cross-engine trig error) so the dissolved area is an exact BIGINT sum
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_R = 6371000.0
+# positivity shifts: lat hundredths in [-9000, 9000), lon in
+# [-18000, 18000) -> add these before integer division
+_LAT_OFF_H = 18000
+_LON_OFF_H = 36000
+
+
+def _cell_range(lo_h, hi_h, off_h):
+    """Inclusive cell-index range [i_min, i_max] of 0.1-deg cells
+    whose center falls in [lo_h, hi_h) hundredths; integer-only."""
+    lo = lo_h + F.lit(off_h)
+    hi = hi_h + F.lit(off_h)
+    # n/10.0 for 0 <= n < 1e6 floors correctly in double (only exact
+    # multiples of 10 land on integers), and DuckDB's integer //
+    # agrees on positives
+    i_min = F.floor((lo + 4) / F.lit(10.0))
+    i_max = F.floor((hi + 4) / F.lit(10.0)) - 1
+    return (i_min - F.lit(off_h // 10)), (i_max - F.lit(off_h // 10))
+
+
+def cell_area_m2(i_col):
+    """Exact-integer spherical area (m^2) of one 0.1 x 0.1-deg cell in
+    lat row i (cell spans [i/10, (i+1)/10) deg)."""
+    rad = 3.141592653589793 / 180.0
+    top = F.sin((i_col + 1) / F.lit(10.0) * F.lit(rad))
+    bot = F.sin(i_col / F.lit(10.0) * F.lit(rad))
+    return F.round(
+        F.lit(EARTH_R * EARTH_R * 0.1 * rad) * (top - bot)
+    ).cast("long")
+
+
+# the same formula as a SQL snippet for the DuckDB oracle
+CELL_AREA_SQL = (
+    "CAST(ROUND({r2} * (SIN(RADIANS((i + 1) / 10.0))"
+    " - SIN(RADIANS(i / 10.0)))) AS BIGINT)"
+).format(r2=repr(EARTH_R * EARTH_R * 0.1 * 3.141592653589793 / 180.0))
+
+
+def dissolve_boxes(boxes: DataFrame, group_col: str) -> DataFrame:
+    """Union-area of axis-aligned boxes per group.  boxes columns:
+    group_col, lat_lo_h, lat_hi_h, lon_lo_h, lon_hi_h (integer
+    hundredths of a degree, half-open).  Returns per group:
+    n_boxes, n_cells (distinct 0.1-deg cells whose center is covered),
+    area_m2 (exact integer sum).
+
+    Plan: map-side double explode to (group, i, j) -> ONE distinct
+    shuffle on the cell key -> integer area sum.  Nothing all-pairs;
+    overlap resolution IS the distinct."""
+    nb = boxes.groupBy(group_col).agg(F.count("*").alias("n_boxes"))
+
+    la_min, la_max = _cell_range(F.col("lat_lo_h"), F.col("lat_hi_h"),
+                                 _LAT_OFF_H)
+    lo_min, lo_max = _cell_range(F.col("lon_lo_h"), F.col("lon_hi_h"),
+                                 _LON_OFF_H)
+    cells = (boxes
+             .select(group_col,
+                     F.explode(F.sequence(la_min, la_max)).alias("i"),
+                     lo_min.alias("_jmin"), lo_max.alias("_jmax"))
+             .select(group_col, "i",
+                     F.explode(F.sequence(F.col("_jmin"),
+                                          F.col("_jmax"))).alias("j"))
+             .distinct())
+    agg = (cells.withColumn("_a", cell_area_m2(F.col("i")))
+           .groupBy(group_col)
+           .agg(F.count("*").alias("n_cells"),
+                F.sum("_a").alias("area_m2")))
+    return nb.join(agg, group_col, "left")

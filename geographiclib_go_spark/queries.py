@@ -499,6 +499,30 @@ def track_simplify(spark, sf_dir):
             .orderBy("c_custkey"))
 
 
+def region_dissolve(spark, sf_dir):
+    """Dissolve / union-area of overlapping boxes per group
+    (operators/dissolve.py): each customer contributes a 1-3-deg box
+    on the exact 0.01-deg grid; per group (c_custkey % 4) the union
+    is rasterized onto 0.1-deg cells (center-in-box, integer-only
+    tests), deduped in ONE distinct shuffle, and measured as an exact
+    BIGINT sum of per-cell spherical areas.  DuckDB replays the whole
+    raster — explode, distinct, integer area — as the oracle."""
+    from geographiclib_go_spark.operators import dissolve as dv
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    c = F.col("c_custkey").cast("long")
+    la0 = ((c * 37) % 10000) - 5600
+    lo0 = ((c * 59) % 30000) - 15000
+    boxes = cust.select(
+        (c % 4).alias("grp"),
+        la0.alias("lat_lo_h"),
+        (la0 + 100 + (c * 13) % 200).alias("lat_hi_h"),
+        lo0.alias("lon_lo_h"),
+        (lo0 + 100 + (c * 29) % 300).alias("lon_hi_h"))
+    return (dv.dissolve_boxes(boxes, "grp")
+            .select("grp", "n_boxes", "n_cells", "area_m2")
+            .orderBy("grp"))
+
+
 def part_type_pivot(spark, sf_dir):
     """Conditional aggregation (pivot shape) on part size classes."""
     part = _t(spark, sf_dir, "part")
@@ -2749,3 +2773,46 @@ ORACLE_SQL["track_simplify"] = """
       ON f.c_custkey = c.c_custkey
     ORDER BY c.c_custkey
 """.format(fix=_FIXTURE_DIR)
+
+from geographiclib_go_spark.operators.dissolve import CELL_AREA_SQL as _CELL_AREA_SQL  # noqa: E402
+
+ORACLE_SQL["region_dissolve"] = """
+    WITH b AS (
+      SELECT c_custkey % 4 AS grp,
+             ((c_custkey * 37) % 10000) - 5600 AS la0,
+             ((c_custkey * 37) % 10000) - 5600
+               + 100 + (c_custkey * 13) % 200 AS la1,
+             ((c_custkey * 59) % 30000) - 15000 AS lo0,
+             ((c_custkey * 59) % 30000) - 15000
+               + 100 + (c_custkey * 29) % 300 AS lo1
+      FROM customer
+    ),
+    nb AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_boxes
+      FROM b GROUP BY grp
+    ),
+    l1 AS (
+      SELECT grp,
+             unnest(generate_series(
+                 (la0 + 18004) // 10 - 1800,
+                 (la1 + 18004) // 10 - 1801)) AS i,
+             lo0, lo1
+      FROM b
+    ),
+    l2 AS (
+      SELECT grp, i,
+             unnest(generate_series(
+                 (lo0 + 36004) // 10 - 3600,
+                 (lo1 + 36004) // 10 - 3601)) AS j
+      FROM l1
+    ),
+    cells AS (SELECT DISTINCT grp, i, j FROM l2),
+    ar AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM({area}) AS BIGINT) AS area_m2
+      FROM cells GROUP BY grp
+    )
+    SELECT nb.grp, nb.n_boxes, ar.n_cells, ar.area_m2
+    FROM nb JOIN ar USING (grp)
+    ORDER BY grp
+""".format(area=_CELL_AREA_SQL)

@@ -50,3 +50,55 @@ def test_raster_mask_agrees_with_pip(spark):
         np.frombuffer(bytes(r.mask), dtype=np.uint8))[:64]
     assert 0 < r.covered_px <= 64
     assert mask.sum() == r.covered_px
+
+
+def test_dissolve_boxes_matches_numpy_union(spark):
+    """dissolve_boxes vs a dense numpy raster of the same boxes:
+    identical distinct-cell counts and exact integer areas, on a
+    layout with heavy overlap."""
+    import numpy as np
+    import pandas as pd
+    from geographiclib_go_spark.operators import dissolve as dv
+
+    rng = np.random.default_rng(9)
+    n = 120
+    la0 = rng.integers(-5600, 4400, n)
+    lo0 = rng.integers(-15000, 14700, n)
+    pdf = pd.DataFrame({
+        "grp": rng.integers(0, 3, n),
+        "lat_lo_h": la0, "lat_hi_h": la0 + rng.integers(100, 300, n),
+        "lon_lo_h": lo0, "lon_hi_h": lo0 + rng.integers(100, 300, n),
+    })
+    got = {r["grp"]: r for r in
+           dv.dissolve_boxes(spark.createDataFrame(pdf), "grp")
+           .collect()}
+
+    R = dv.EARTH_R
+    for g, sub in pdf.groupby("grp"):
+        cells = set()
+        for _, b in sub.iterrows():
+            imin = -(-(b.lat_lo_h - 5) // 10)   # ceil((lo-5)/10)
+            imax = -(-(b.lat_hi_h - 5) // 10) - 1
+            jmin = -(-(b.lon_lo_h - 5) // 10)
+            jmax = -(-(b.lon_hi_h - 5) // 10) - 1
+            for i in range(imin, imax + 1):
+                for j in range(jmin, jmax + 1):
+                    # brute re-check: center really inside
+                    assert b.lat_lo_h <= 10 * i + 5 < b.lat_hi_h
+                    assert b.lon_lo_h <= 10 * j + 5 < b.lon_hi_h
+                    cells.add((i, j))
+        area = sum(int(np.round(
+            R * R * np.radians(0.1)
+            * (np.sin(np.radians((i + 1) / 10))
+               - np.sin(np.radians(i / 10))))) for i, j in cells)
+        assert got[g]["n_cells"] == len(cells)
+        assert got[g]["n_boxes"] == len(sub)
+        assert got[g]["area_m2"] == area
+    # per-row area rounding clearance: every lat row REACHABLE by the
+    # box layouts (|lat| <= 60 deg; region_dissolve tops out at 47)
+    # sits >= 3e-4 m^2 from the integer-rounding boundary (~3000x the
+    # cross-engine trig error)
+    i = np.arange(-600, 600)
+    a = (R * R * np.radians(0.1)
+         * (np.sin(np.radians((i + 1) / 10)) - np.sin(np.radians(i / 10))))
+    assert np.abs((a % 1.0) - 0.5).min() > 3e-4
