@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_track_stats": Q.events_track_stats,
         "events_interval_join": Q.events_interval_join,
         "track_simplify": Q.track_simplify,
+        "track_map_match": Q.track_map_match,
         "part_type_pivot": Q.part_type_pivot,
         "part_type_unpivot": Q.part_type_unpivot,
         # spatial kernels + joins (sphere variants SQL-oracled)

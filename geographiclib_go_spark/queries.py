@@ -499,6 +499,70 @@ def track_simplify(spark, sf_dir):
             .orderBy("c_custkey"))
 
 
+# map-match layout: a 10-segment zigzag route on the integer grid;
+# per customer 21 pings marching along it (lon = 2i deg + jitter),
+# lat = route interpolation + a +/-4.5-deg nonlinear perturbation —
+# exact integer hundredths on both engines.  lam=0.05 (sin-ratio
+# units) flips ~10% of assignments vs pure nearest-segment and cuts
+# mean switches 9.0 -> 8.2, so the Viterbi smoothing is genuinely
+# exercised (asserted at fixture build).
+_MM_ROUTE_LAT_H = [2000, 2300, 2100, 2400, 2200, 2600,
+                   2300, 2700, 2500, 2900, 2600]
+_MM_ROUTE_LON_H = [0, 400, 800, 1200, 1600, 2000,
+                   2400, 2800, 3200, 3600, 4000]
+_MM_NPTS = 21
+_MM_LAM = 0.05
+
+
+def _mm_ping_points(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    c = F.col("c_custkey").cast("long")
+    i = F.col("i").cast("long")
+    pts = cust.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_MM_NPTS - 1))).alias("i"))
+    wp = F.array(*[F.lit(v) for v in _MM_ROUTE_LAT_H])
+    k = F.expr("i div 2")
+    base = F.when(i % 2 == 0, F.element_at(wp, (k + 1).cast("int"))) \
+            .otherwise((F.element_at(wp, (k + 1).cast("int"))
+                        + F.element_at(wp, (k + 2).cast("int")))
+                       .cast("long") / F.lit(2)).cast("long")
+    lat_h = base + ((c * 31 + i * i * 17) % 900) - 450
+    lon_h = i * 200 + ((c * 7) % 41) - 20
+    return pts.select("c_custkey", "i",
+                      (lat_h / 100.0).alias("lat"),
+                      (lon_h / 100.0).alias("lon"))
+
+
+def track_map_match(spark, sf_dir):
+    """HMM map-matching (operators/mapmatch.py): per-customer ping
+    tracks Viterbi-decoded onto the 10-segment route; output is the
+    final matched segment, the number of segment switches, and the
+    exact integer path checksum sum((i+1) * seg_i).  One shuffle
+    (groupBy collect_list) + one Arrow Viterbi stage over thousands
+    of tracks per batch; the oracle is the committed fixture built by
+    the INDEPENDENT per-track python DP (scripts/build_fixtures.py
+    asserts batch == loop on every registered track)."""
+    from geographiclib_go_spark.operators import mapmatch as mmo
+    pings = _mm_ping_points(spark, sf_dir)
+    r_lat = [v / 100.0 for v in _MM_ROUTE_LAT_H]
+    r_lon = [v / 100.0 for v in _MM_ROUTE_LON_H]
+    got = mmo.match_tracks(pings, "c_custkey", "i", "lat", "lon",
+                           r_lat, r_lon, lam=_MM_LAM)
+    return (got.select(
+                "c_custkey",
+                F.element_at("matched_seg", -1).cast("long")
+                 .alias("final_seg"),
+                F.expr("size(filter(sequence(1, size(matched_seg)-1),"
+                       " i -> matched_seg[i] != matched_seg[i-1]))")
+                 .cast("long").alias("n_switches"),
+                F.expr("aggregate(zip_with(matched_seg,"
+                       " sequence(1, size(matched_seg)),"
+                       " (s, i) -> CAST(i AS BIGINT) * s),"
+                       " 0L, (a, x) -> a + x)").alias("path_ck"))
+            .orderBy("c_custkey"))
+
+
 def region_dissolve(spark, sf_dir):
     """Dissolve / union-area of overlapping boxes per group
     (operators/dissolve.py): each customer contributes a 1-3-deg box
@@ -2816,3 +2880,11 @@ ORACLE_SQL["region_dissolve"] = """
     FROM nb JOIN ar USING (grp)
     ORDER BY grp
 """.format(area=_CELL_AREA_SQL)
+
+ORACLE_SQL["track_map_match"] = """
+    SELECT c.c_custkey, f.final_seg, f.n_switches, f.path_ck
+    FROM customer c
+    JOIN '{fix}/track_map_match.parquet' f
+      ON f.c_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+""".format(fix=_FIXTURE_DIR)

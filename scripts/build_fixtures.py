@@ -288,6 +288,59 @@ def build_track_simplify(n: int, out_dir: str = None) -> str:
     return path
 
 
+def mm_ping_points(n: int):
+    """The track_map_match ping layout (queries._mm_ping_points) in
+    numpy: exact integer hundredths / 100.0."""
+    npts = Q._MM_NPTS
+    c = np.repeat(np.arange(n, dtype=np.int64), npts)
+    i = np.tile(np.arange(npts, dtype=np.int64), n)
+    wp = np.asarray(Q._MM_ROUTE_LAT_H, dtype=np.int64)
+    k = i // 2
+    kp1 = np.minimum(k + 1, len(wp) - 1)   # even rows ignore this arm
+    base = np.where(i % 2 == 0, wp[k], (wp[k] + wp[kp1]) // 2)
+    lat_h = base + ((c * 31 + i * i * 17) % 900) - 450
+    lon_h = i * 200 + ((c * 7) % 41) - 20
+    return ((lat_h / 100.0).reshape(n, npts),
+            (lon_h / 100.0).reshape(n, npts))
+
+
+def build_map_match(n: int, out_dir: str = None) -> str:
+    """Viterbi oracle via the per-track python DP (viterbi_loop);
+    asserts the batch kernel agrees on every registered track (the
+    same bit-level gate as build_track_simplify — shared doubles +
+    first-index argmin tie rule)."""
+    from geographiclib_go_spark.operators import mapmatch as mmo
+    lat, lon = mm_ping_points(n)
+    npts = Q._MM_NPTS
+    frames = mmo.seg_frames(
+        np.asarray(Q._MM_ROUTE_LAT_H, dtype=np.float64) / 100.0,
+        np.asarray(Q._MM_ROUTE_LON_H, dtype=np.float64) / 100.0)
+    segs = np.empty((n, npts), dtype=np.int64)
+    for c in range(n):
+        segs[c] = mmo.viterbi_loop(lat[c], lon[c], frames, Q._MM_LAM)
+    got = mmo.viterbi_batch(lat, lon, np.full(n, npts), frames,
+                            Q._MM_LAM)
+    bad = np.flatnonzero((got != segs).any(axis=1))
+    assert bad.size == 0, f"batch != loop on tracks {bad[:10]}"
+    # smoothing must be genuinely exercised: vs lam=0 (pure nearest)
+    near = mmo.viterbi_batch(lat, lon, np.full(n, npts), frames, 0.0)
+    frac = (near != segs).mean()
+    assert frac > 0.02, f"lam too weak: only {frac:.3f} flipped"
+    w = np.arange(1, npts + 1, dtype=np.int64)
+    tbl = pa.table({
+        "c_custkey": np.arange(n, dtype=np.int64),
+        "final_seg": segs[:, -1],
+        "n_switches": (segs[:, 1:] != segs[:, :-1]).sum(axis=1)
+                      .astype(np.int64),
+        "path_ck": (segs * w[None, :]).sum(axis=1),
+    })
+    print(f"map_match: {frac:.3f} of assignments smoothed vs nearest,"
+          f" mean switches {tbl['n_switches'].to_numpy().mean():.2f}")
+    path = os.path.join(out_dir or FIXTURE_DIR, "track_map_match.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15000
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -303,6 +356,8 @@ def main():
     print("wrote", p5)
     p6 = build_track_simplify(n)
     print("wrote", p6)
+    p7 = build_map_match(n)
+    print("wrote", p7)
 
 
 if __name__ == "__main__":
