@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": Q.events_interval_join,
         "track_simplify": Q.track_simplify,
         "track_map_match": Q.track_map_match,
+        "track_bearing_rose": Q.track_bearing_rose,
         "part_type_pivot": Q.part_type_pivot,
         "part_type_unpivot": Q.part_type_unpivot,
         # spatial kernels + joins (sphere variants SQL-oracled)
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_buckets": Q.doc_quality_buckets,
         "doc_bpe_tokens": Q.doc_bpe_tokens,
         "docs_clean_pipeline": Q.docs_clean_pipeline,
+        "docs_incremental_dedup": Q.docs_incremental_dedup,
         "doc_hll_registers": Q.doc_hll_registers,
         "doc_hll_distinct": Q.doc_hll_distinct,
         "doc_minhash_pairs": Q.doc_minhash_pairs,

@@ -78,7 +78,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage", "region_dissolve",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
-        "docs_clean_pipeline",
+        "docs_clean_pipeline", "docs_incremental_dedup",
         "doc_minhash_pairs",
         "doc_simhash_pairs", "doc_simhash_pairs_h3",
         "emb_cosine_topk", "emb_near_dup_pairs", "emb_ivf_topk",

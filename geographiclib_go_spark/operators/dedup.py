@@ -216,3 +216,55 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def minhash_cross_pairs(docs: DataFrame, side_col: str,
+                        left_val: str, right_val: str,
+                        threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle: int = 5) -> DataFrame:
+    """Asymmetric (ingest-time) LSH near-dup join: candidate pairs
+    only BETWEEN the two sides of `side_col` — the incremental-dedup
+    shape where a new batch probes an existing corpus.  Signatures
+    and the band table are computed ONCE over the labeled union (at
+    cluster scale the corpus band table is a persisted artifact the
+    batch probes; the cache() is the sandbox analog), then the band
+    equi-join keys left side against right side only — no
+    corpus x corpus or batch x batch pairs ever materialize, so the
+    join output scales with cross-duplicate density, not corpus
+    density.  Jaccard refine as in minhash_dedup_pairs.
+    Output: (id_a = left side, id_b = right side, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_udf(num_hashes, shingle)
+    s = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(side_col).alias("_side"),
+                    sig(F.col(text_col)).alias("_sig"))
+    bands_df = s.select(
+        "doc_id", "_side",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.struct(*[F.col("_sig")[b * rows_per_band + r]
+                                .alias(f"v{r}")
+                                for r in range(rows_per_band)])
+                     .alias("band_key"))
+            for b in range(bands)])).alias("bb"))
+    bands_df = bands_df.select("doc_id", "_side", "bb.band",
+                               "bb.band_key").cache()
+    a = bands_df.filter(F.col("_side") == left_val).alias("a")
+    b = bands_df.filter(F.col("_side") == right_val).alias("b")
+    cand = (a.join(b, ["band", "band_key"])
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    texts = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("_t"))
+    cand = (cand
+            .join(texts.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("_t", "_ta"), "id_a")
+            .join(texts.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("_t", "_tb"), "id_b"))
+    jac = ngram_jaccard_udf(shingle).asNondeterministic()
+    return (cand.withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

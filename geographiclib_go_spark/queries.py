@@ -355,6 +355,42 @@ def events_track_stats(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def track_bearing_rose(spark, sf_dir):
+    """Bearing rose: every trajectory leg's INITIAL AZIMUTH from the
+    geodesic inverse kernel (azi1, the second kernel output after
+    s12 to face the driver gate), bucketed into the eight 45-deg
+    compass sectors, with exact integer leg-length sums.  Sector
+    boundaries are clearance-checked: min measured azimuth distance
+    to any 45-deg multiple is 3.4e-4 deg at sf0.1 (~1e5x the
+    kernel-vs-closed-form noise), no due-north exact-boundary legs,
+    no zero-length legs.  DuckDB recomputes azi1 with the closed-form
+    sphere ATAN2 (the f=0 reduction of inverse.go's azimuth path)."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id").cast("long")
+    pos = ev.select("user_id", "ts", "event_id",
+                    (((e * 131) % 6000) / 100.0 - 30.0).alias("lat"),
+                    (((e * 211) % 12000) / 100.0 - 60.0).alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    inv = make_inverse_udf(a=SPHERE_A, f=0.0,
+                           mask=C.AZIMUTH | C.DISTANCE)
+    legs = (pos
+            .withColumn("_plat", F.lag("lat").over(w))
+            .withColumn("_plon", F.lag("lon").over(w))
+            .filter(F.col("_plat").isNotNull())
+            .withColumn("_g", inv(F.col("_plat"), F.col("_plon"),
+                                  F.col("lat"), F.col("lon"))))
+    sector = F.floor(
+        F.pmod(F.col("_g.azi1") + F.lit(360.0), F.lit(360.0))
+        / F.lit(45.0)).cast("long")
+    return (legs.select(sector.alias("sector"),
+                        F.round(F.col("_g.s12")).cast("long")
+                        .alias("_leg_m"))
+            .groupBy("sector")
+            .agg(F.count("*").alias("n_legs"),
+                 F.sum("_leg_m").alias("total_m"))
+            .orderBy("sector"))
+
+
 # maintenance windows for the interval-overlap join: win k starts
 # 2024-01-01T00:00Z + k*16 h and lasts (2 + (k*5) % 9) hours — all
 # exact integer microseconds, identical literals in both engines
@@ -1330,6 +1366,43 @@ def pts_dbscan(spark, sf_dir):
                        F.coalesce("cluster_id", F.lit(-1))
                        .alias("cluster_id"))
             .orderBy("id"))
+
+
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: a deterministic 20% 'batch' arrives
+    against the 80% 'corpus' (same JVM split hash as
+    doc_train_val_split, salt 'ingest:').  Every batch doc is
+    classified: 'exact_dup' (md5 semi-join against corpus hashes),
+    'near_dup' (asymmetric MinHash-LSH cross join — batch band keys
+    probe corpus band keys only, dedup.minhash_cross_pairs — refined
+    by exact Jaccard >= 0.8), else 'new'.  This is the 100 TB
+    ingest-time shape: corpus signatures are a persisted artifact,
+    the batch probes them, and nothing corpus x corpus is ever
+    joined.  DuckDB replays split hash, md5 join, signatures, band
+    collisions, and the Jaccard refine."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    lab = smp.assign_split(docs, "doc_id",
+                           weights={"corpus": 0.8, "batch": 0.2},
+                           salt="ingest:")
+    batch = lab.filter(F.col("split") == "batch")
+    corpus_md5 = (lab.filter(F.col("split") == "corpus")
+                  .select(F.md5("text").alias("_h")).distinct())
+    exact = (batch.withColumn("_h", F.md5("text"))
+             .join(corpus_md5, "_h", "semi")
+             .select("doc_id").withColumn("_ex", F.lit(1)))
+    near = (ded.minhash_cross_pairs(lab, "split", "batch", "corpus",
+                                    threshold=0.8, num_hashes=64,
+                                    bands=8)
+            .select(F.col("id_a").alias("doc_id")).distinct()
+            .withColumn("_nr", F.lit(1)))
+    return (batch.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("_ex") == 1, F.lit("exact_dup"))
+                     .when(F.col("_nr") == 1, F.lit("near_dup"))
+                     .otherwise(F.lit("new")).alias("status"))
+            .orderBy("doc_id"))
 
 
 def doc_train_val_split(spark, sf_dir):
@@ -2888,3 +2961,73 @@ ORACLE_SQL["track_map_match"] = """
       ON f.c_custkey = c.c_custkey
     ORDER BY c.c_custkey
 """.format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["track_bearing_rose"] = f"""
+    WITH pos AS (
+      SELECT user_id, ts, event_id,
+             ((CAST(event_id AS BIGINT) * 131) % 6000) / 100.0 - 30.0
+               AS lat,
+             ((CAST(event_id AS BIGINT) * 211) % 12000) / 100.0 - 60.0
+               AS lon
+      FROM events),
+    lg AS (
+      SELECT user_id, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+      FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    legs AS (
+      SELECT DEGREES(ATAN2(
+                 SIN(RADIANS(lon - plon)) * COS(RADIANS(lat)),
+                 COS(RADIANS(plat)) * SIN(RADIANS(lat))
+                 - SIN(RADIANS(plat)) * COS(RADIANS(lat))
+                   * COS(RADIANS(lon - plon)))) AS azi1,
+             CAST(ROUND(2.0 * {SPHERE_A} * ASIN(SQRT(
+                 POW(SIN(RADIANS(lat - plat) / 2), 2)
+                 + COS(RADIANS(plat)) * COS(RADIANS(lat))
+                 * POW(SIN(RADIANS(lon - plon) / 2), 2)))) AS BIGINT)
+               AS leg_m
+      FROM lg WHERE plat IS NOT NULL)
+    SELECT CAST(FLOOR(((azi1 + 360.0) % 360.0) / 45.0) AS BIGINT)
+             AS sector,
+           CAST(COUNT(*) AS BIGINT) AS n_legs,
+           CAST(SUM(leg_m) AS BIGINT) AS total_m
+    FROM legs GROUP BY 1 ORDER BY sector
+"""
+
+# incremental dedup oracle: split hash CTE + md5 exact join + the
+# full minhash pairs query embedded as a CTE (symmetric pairs
+# restricted to batch x corpus == the asymmetric cross join, since
+# the candidate criterion and refine are identical and the id sets
+# are disjoint).  Concatenation, not .format, to keep the generated
+# SQL's braces intact.
+ORACLE_SQL["docs_incremental_dedup"] = (
+    "WITH "
+    + smp.hash_cte_sql("documents", "doc_id", "ingest:") + """,
+    lab AS (
+      SELECT d.doc_id, md5(d.text) AS h5,
+             """ + smp.split_case_sql({"corpus": 0.8, "batch": 0.2})
+    + """ AS split
+      FROM documents d JOIN hh ON hh.id = d.doc_id),
+    ex AS (
+      SELECT DISTINCT b.doc_id
+      FROM lab b JOIN lab c
+        ON c.split = 'corpus' AND b.h5 = c.h5
+      WHERE b.split = 'batch'),
+    p AS (""" + _sk.minhash_pairs_oracle_sql(
+        num_hashes=64, bands=8, shingle=5, threshold=0.8) + """),
+    nr AS (
+      SELECT DISTINCT x.did AS doc_id FROM (
+        SELECT id_a AS did, id_b AS other FROM p
+        UNION ALL
+        SELECT id_b AS did, id_a AS other FROM p) x
+      JOIN lab lb ON lb.doc_id = x.did AND lb.split = 'batch'
+      JOIN lab lc ON lc.doc_id = x.other AND lc.split = 'corpus')
+    SELECT b.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM lab b
+    LEFT JOIN ex ON ex.doc_id = b.doc_id
+    LEFT JOIN nr ON nr.doc_id = b.doc_id
+    WHERE b.split = 'batch'
+    ORDER BY b.doc_id
+""")

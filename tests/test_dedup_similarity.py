@@ -328,3 +328,41 @@ def test_hamming_band_pairs_equals_brute_force(spark):
         ii, jj = np.nonzero((hd <= h) & (ids[:, None] < ids[None, :]))
         want = {(int(i), int(j), int(hd[i, j])) for i, j in zip(ii, jj)}
         assert got_set == want and len(want) > 100, (h, len(want))
+
+
+def test_minhash_cross_pairs_asymmetric(spark):
+    """The ingest-time cross join must (a) find every batch->corpus
+    near-dup the symmetric self-join finds, (b) never emit
+    batch x batch or corpus x corpus pairs, and (c) orient output as
+    (batch id, corpus id)."""
+    import pandas as pd
+    from geographiclib_go_spark.operators import dedup as ded
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill in the afternoon ")
+    docs = []
+    # corpus: 20 distinct docs; batch: near-dups of some, plus novel
+    for i in range(20):
+        docs.append((i, "corpus", base + f"corpus tail {i} " * 3))
+    docs.append((100, "batch", base + "corpus tail 3 " * 3))   # exact
+    docs.append((101, "batch", base + "corpus tail 5 " * 3 + "x"))
+    docs.append((102, "batch", "completely different text about "
+                               "spark partitions and shuffles " * 4))
+    # two batch docs that are near-dups of EACH OTHER but nothing in
+    # the corpus: must NOT pair
+    docs.append((103, "batch", "zebra yak xylophone wombat " * 12))
+    docs.append((104, "batch", "zebra yak xylophone wombat " * 12))
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "side", "text"]))
+    got = ded.minhash_cross_pairs(df, "side", "batch", "corpus",
+                                  threshold=0.8, num_hashes=64,
+                                  bands=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (100, 3) in pairs                 # exact text -> jaccard 1
+    assert (101, 5) in pairs                 # near-dup found
+    assert all(a >= 100 and b < 100 for a, b in pairs)  # orientation
+    assert not any(a in (103, 104) for a, _ in pairs)   # intra-batch
+    assert not any(b in (103, 104) for _, b in pairs)
+    for r in got:
+        if r["id_a"] == 100 and r["id_b"] == 3:
+            assert r["jaccard"] == 1.0
