@@ -136,6 +136,56 @@ def main():
         "flat crossing fan-out.",
         formatted(xing)))
 
+    sections.append((
+        "track_simplify (geodesic Douglas-Peucker)",
+        "One data Exchange only (the per-track groupBy); the batch DP "
+        "kernel is a single ArrowEvalPython over collected tracks; the "
+        "final Exchange is the query's own ORDER BY.  Position -> seq "
+        "mapping stays JVM-side (transform over the collected struct).",
+        formatted(Q.track_simplify(spark, sf))))
+
+    sections.append((
+        "track_map_match (HMM Viterbi onto route segments)",
+        "Same trajectory shape: one groupBy Exchange, one "
+        "ArrowEvalPython running the [T,S,S] Viterbi over every track "
+        "in the batch; the 10-segment route lives in the UDF closure — "
+        "no join for the dim side.",
+        formatted(Q.track_map_match(spark, sf))))
+
+    sections.append((
+        "region_dissolve (cell-rasterized union-area)",
+        "Map-side double explode (sequence -> cells), then the ONE "
+        "distinct shuffle that IS the union, then the integer area "
+        "aggregation.  No Python anywhere — the whole raster is JVM "
+        "expressions inside WholeStageCodegen.",
+        formatted(Q.region_dissolve(spark, sf))))
+
+    sections.append((
+        "events_interval_join (dedup-free bucketed interval join)",
+        "Both sides explode to 6 h buckets (JVM sequence), hash "
+        "equi-join on the bucket key, and the canonical-bucket filter "
+        "replaces any distinct pass — there is exactly one join "
+        "Exchange pair and NO aggregation/distinct node between join "
+        "and output.",
+        formatted(Q.events_interval_join(spark, sf))))
+
+    sections.append((
+        "events_value_sketch_quantiles (mergeable quantile sketch)",
+        "The sketch is one partial+final HashAggregate pair on "
+        "(type, e, m) — map-side combine shrinks every partition to a "
+        "few hundred bucket rows before the Exchange; the quantile "
+        "extraction windows over the tiny bucket table.  Compare "
+        "events_value_percentiles, which must shuffle raw values.",
+        formatted(Q.events_value_sketch_quantiles(spark, sf))))
+
+    sections.append((
+        "docs_incremental_dedup (asymmetric ingest LSH)",
+        "The band table is computed ONCE (InMemoryTableScan feeds both "
+        "filter branches); batch side joins corpus side only — the "
+        "equi-join is on (band, band_key) with side filters pushed "
+        "below the join, so no corpus x corpus pair is ever formed.",
+        formatted(Q.docs_incremental_dedup(spark, sf))))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "
