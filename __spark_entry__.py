@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_sketch_quantiles": Q.events_value_sketch_quantiles,
         "events_track_stats": Q.events_track_stats,
         "events_interval_join": Q.events_interval_join,
+        "events_moving_window": Q.events_moving_window,
         "track_simplify": Q.track_simplify,
         "track_map_match": Q.track_map_match,
         "track_bearing_rose": Q.track_bearing_rose,

@@ -436,6 +436,34 @@ def events_interval_join(spark, sf_dir):
             .orderBy("user_id", "day_idx", "win_id"))
 
 
+def events_moving_window(spark, sf_dir):
+    """Time-RANGE window frame: each event annotated with the count,
+    integer-cent sum and max of the SAME USER's events in the
+    trailing one hour (RANGE BETWEEN 3.6e9 us PRECEDING AND CURRENT
+    ROW over the integer-microsecond event time).  This is the frame
+    family rowsBetween cannot express — peers at the same instant are
+    all in-frame, and the frame width is a time span, not a row
+    count.  Values become exact integer cents before the frame
+    aggregates, so the running sums are order-independent and the
+    hash compare is float-free.
+
+    Scale shape: one shuffle on user_id; within a partition Spark's
+    window exec keeps a sliding frame over the sorted run (no
+    per-row rescan), identical to what a 1000-executor sort-window
+    would do — state is O(frame), not O(partition)."""
+    ev = _t(spark, sf_dir, "events")
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("_mic")
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return (ev.withColumn("_mic", mic).withColumn("_cents", cents)
+            .select("event_id", "user_id",
+                    F.count("*").over(w).alias("n_1h"),
+                    F.sum("_cents").over(w).alias("sum_cents_1h"),
+                    F.max("_cents").over(w).alias("max_cents_1h"))
+            .orderBy("event_id"))
+
+
 def events_value_sketch_quantiles(spark, sf_dir):
     """Mergeable quantile sketch (DDSketch-shaped, base-2): event
     values become exact integer cents, each lands in the bucket
@@ -2230,6 +2258,19 @@ ORACLE_SQL["events_track_stats"] = f"""
            CAST(SUM(leg_m) AS BIGINT) AS track_m,
            MAX(leg_m) AS max_leg_m
     FROM legs GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["events_moving_window"] = """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_1h,
+           CAST(MAX(cents) OVER w AS BIGINT) AS max_cents_1h
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS mic,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events) t
+    WINDOW w AS (PARTITION BY user_id ORDER BY mic
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
 """
 
 ORACLE_SQL["doc_bpe_tokens"] = """
