@@ -66,6 +66,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_dateline_box": Q.pip_dateline_box,
         "sphere_direct_destinations": Q.sphere_direct_destinations,
         "sphere_arc_destinations": Q.sphere_arc_destinations,
+        "rhumb_distance_buckets": Q.rhumb_distance_buckets,
+        "rhumb_destinations": Q.rhumb_destinations,
+        "doc_heavy_hitters": Q.doc_heavy_hitters,
+        "lineitem_bloom_semi": Q.lineitem_bloom_semi,
+        "doc_tf_cosine_pairs": Q.doc_tf_cosine_pairs,
         "tile_counts": Q.tile_counts,
         "tile_pyramid": Q.tile_pyramid,
         "tile_counts_salted": Q.tile_counts_salted,

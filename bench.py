@@ -72,12 +72,14 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "track_simplify", "track_map_match",
         "sphere_distance_buckets", "sql_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
+        "rhumb_distance_buckets", "rhumb_destinations",
         "ellip_nearest_landmark", "sphere_nearest_landmark",
         "route_distance", "ellip_route_nearest",
         "route_crossings", "ellip_route_crossings",
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage", "region_dissolve",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
+        "doc_heavy_hitters", "lineitem_bloom_semi",
         "docs_clean_pipeline", "docs_incremental_dedup",
         "doc_minhash_pairs",
         "doc_simhash_pairs", "doc_simhash_pairs_h3",

@@ -27,6 +27,7 @@ from geographiclib_go_spark.kernels import caps as C
 from geographiclib_go_spark.kernels import direct as kdirect
 from geographiclib_go_spark.kernels import gnomonic as kgnomonic
 from geographiclib_go_spark.kernels import inverse as kinverse
+from geographiclib_go_spark.kernels import rhumb as krhumb
 from geographiclib_go_spark.kernels.geodesic import (
     GeodesicModel, WGS84_A, WGS84_F)
 
@@ -180,6 +181,40 @@ def make_gnomonic_rev_udf(a: float = WGS84_A, f: float = WGS84_F):
         return pd.DataFrame(out)
 
     return gnomonic_rev
+
+
+def make_rhumb_inverse_udf(a: float = WGS84_A, f: float = WGS84_F):
+    """rhumb_inverse(lat1, lon1, lat2, lon2) -> struct(s12, azi12):
+    loxodrome length + constant course (kernels/rhumb.py — not in the
+    Go port; follows the published geographiclib Rhumb semantics)."""
+    schema = _schema(["s12", "azi12"])
+
+    @pandas_udf(schema)
+    def rhumb_inv(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series,
+                  lon2: pd.Series) -> pd.DataFrame:
+        r = krhumb.RhumbModel(a, f)
+        out = krhumb.rhumb_inverse(
+            r, lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64), lon2.to_numpy(np.float64))
+        return pd.DataFrame({"s12": out["s12"], "azi12": out["azi12"]})
+
+    return rhumb_inv
+
+
+def make_rhumb_direct_udf(a: float = WGS84_A, f: float = WGS84_F):
+    """rhumb_direct(lat1, lon1, azi12, s12) -> struct(lat2, lon2)."""
+    schema = _schema(["lat2", "lon2"])
+
+    @pandas_udf(schema)
+    def rhumb_dir(lat1: pd.Series, lon1: pd.Series, azi12: pd.Series,
+                  s12: pd.Series) -> pd.DataFrame:
+        r = krhumb.RhumbModel(a, f)
+        out = krhumb.rhumb_direct(
+            r, lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            azi12.to_numpy(np.float64), s12.to_numpy(np.float64))
+        return pd.DataFrame({"lat2": out["lat2"], "lon2": out["lon2"]})
+
+    return rhumb_dir
 
 
 def with_geodesic(df: DataFrame, udf_col: Column, prefix: str = "",

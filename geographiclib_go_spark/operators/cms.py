@@ -1,0 +1,206 @@
+"""Count-Min sketch for heavy-hitter token counting (engine-added).
+
+Like the HLL sketch (operators/hll.py) the CMS is a REGISTER TABLE,
+not an opaque blob: rows of (row, col, cnt) for a depth x width
+counter matrix.  That representation is what makes it a first-class
+distributed operator at 100 TB:
+
+- build: one vectorized tokenize+hash pass per Arrow batch
+  (sketch_hash.tokenize_stream / token_hashes — numpy over the
+  concatenated code-point stream, no per-token Python), partial
+  counts combined INSIDE the batch with one bincount, then a single
+  (row, col) sum aggregation: map-side combine, one shuffle,
+  <= depth*width rows out regardless of corpus size.
+- merge: register tables from different partitions/days/snapshots
+  merge by the same groupBy-sum — associative and commutative, so
+  sketches union across Iceberg snapshots exactly like HLL.
+- estimate: count(t) <= est(t) = min over rows r of
+  reg[r, col_r(t)] — the classic Cormode-Muthukrishnan guarantee
+  (overestimate only, error <= eps * total with prob 1 - delta for
+  width = e/eps, depth = ln(1/delta)).
+
+Determinism/oracle: tokens hash through the shared 31-bit polynomial
+pair (t1, t2) = sketch_hash.token_hashes and the row-r cell is
+``col_r = ((a_r*t1 mod P1 + b_r*t2 mod P1 + c_r) mod P1) mod width``
+with (a_r, b_r, c_r) from the fixed splitmix64 stream — all exact
+int64 arithmetic that DuckDB replays bit-for-bit (cms_oracle_sql),
+so registers AND estimates sit under the driver's value-hash gate.
+
+No reference analog: geographiclib-go has no sketching; this is the
+engine's training-data-pipeline layer (heavy-hitter vocabulary /
+boilerplate detection over captions and documents).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geographiclib_go_spark.operators import sketch_hash as sk
+from geographiclib_go_spark.sources.images import splitmix64
+
+P1 = sk.P1
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+# Java regex for the exact 6-char whitespace class of
+# sketch_hash._WS (Java's \v is "vertical whitespace", wider than
+# RE2's \v = VT — spell U+000B explicitly so Spark's split and
+# DuckDB's string_split_regex cut the same token boundaries).
+WS_REGEX_JAVA = "[ \\t\\n\\u000B\\f\\r]+"
+
+
+def cms_params(depth: int = CMS_DEPTH):
+    """(a, b, c) int64 arrays for the row-r cell mixers (a, b in
+    [1, P1-1], c in [0, P1-1]) — fixed splitmix64 stream, identical
+    on executors and in the SQL builder without any broadcast."""
+    j = np.arange(depth, dtype=np.uint64)
+    a = (splitmix64(j + np.uint64(0xC0FFEE)) % np.uint64(P1 - 1)
+         + np.uint64(1)).astype(np.int64)
+    b = (splitmix64(j + np.uint64(0xFACADE)) % np.uint64(P1 - 1)
+         + np.uint64(1)).astype(np.int64)
+    c = (splitmix64(j + np.uint64(0xDECADE)) % np.uint64(P1)) \
+        .astype(np.int64)
+    return a, b, c
+
+
+def _cells(t1: np.ndarray, t2: np.ndarray, depth: int,
+           width: int) -> np.ndarray:
+    """int64[depth, n] cell columns; every intermediate < 2^62."""
+    a, b, c = cms_params(depth)
+    cols = np.empty((depth, t1.size), dtype=np.int64)
+    for r in range(depth):        # loop over the constant depth only
+        g = ((a[r] * t1) % P1 + (b[r] * t2) % P1 + c[r]) % P1
+        cols[r] = g % width
+    return cols
+
+
+def token_hash_pair_udf():
+    """(t1, t2) polynomial token hashes for a column of TOKEN strings
+    (no interior whitespace) — the same Horner arithmetic the
+    register build applies to the token stream."""
+    schema = T.StructType([T.StructField("t1", T.LongType()),
+                           T.StructField("t2", T.LongType())])
+
+    @pandas_udf(schema)
+    def tok_hash(tok: pd.Series) -> pd.DataFrame:
+        codes, lens = sk.batch_codes(tok.tolist())
+        # each input is one maximal non-whitespace run, so the stream
+        # tokenizer returns exactly one token per input string
+        start, length, doc = sk.tokenize_stream(codes, lens)
+        t1 = np.zeros(len(tok), dtype=np.int64)
+        t2 = np.zeros(len(tok), dtype=np.int64)
+        if start.size:
+            h1, h2 = sk.token_hashes(codes, start, length)
+            t1[doc] = h1
+            t2[doc] = h2
+        return pd.DataFrame({"t1": t1, "t2": t2})
+
+    return tok_hash
+
+
+def cms_registers(df: DataFrame, text_col: str,
+                  depth: int = CMS_DEPTH,
+                  width: int = CMS_WIDTH) -> DataFrame:
+    """(row, col, cnt) register table over every token OCCURRENCE in
+    ``text_col`` (multiplicities included).  One Arrow map stage with
+    in-batch bincount combine, then a single tiny sum shuffle."""
+    schema = T.StructType([T.StructField("row", T.LongType()),
+                           T.StructField("col", T.LongType()),
+                           T.StructField("cnt", T.LongType())])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for pdf in batches:
+            codes, lens = sk.batch_codes(pdf[text_col].tolist())
+            start, length, _doc = sk.tokenize_stream(codes, lens)
+            if start.size == 0:
+                continue
+            t1, t2 = sk.token_hashes(codes, start, length)
+            cols = _cells(t1, t2, depth, width)
+            for r in range(depth):
+                acc += np.bincount(r * width + cols[r],
+                                   minlength=depth * width)
+        nz = np.nonzero(acc)[0]
+        yield pd.DataFrame({"row": nz // width, "col": nz % width,
+                            "cnt": acc[nz]})
+
+    return (df.select(text_col).mapInPandas(build, schema)
+            .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_estimate(tokens: DataFrame, registers: DataFrame, tok_col: str,
+                 depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Adds ``cms_est`` to a DataFrame of candidate tokens: min over
+    the depth rows of the register cells the token maps to.  The
+    register table (<= depth*width rows) is broadcast, so the probe
+    is a map-side join regardless of candidate count."""
+    a, b, c = cms_params(depth)
+    hp = token_hash_pair_udf()(F.col(tok_col))
+    with_h = tokens.withColumn("_h", hp) \
+        .withColumn("_t1", F.col("_h.t1")) \
+        .withColumn("_t2", F.col("_h.t2")).drop("_h")
+    cells = [F.struct(
+        F.lit(r).cast("long").alias("row"),
+        (((F.lit(int(a[r])) * F.col("_t1")) % P1
+          + (F.lit(int(b[r])) * F.col("_t2")) % P1
+          + F.lit(int(c[r]))) % P1 % width).alias("col"))
+        for r in range(depth)]
+    probed = (with_h
+              .withColumn("_cell", F.explode(F.array(*cells)))
+              .withColumn("row", F.col("_cell.row"))
+              .withColumn("col", F.col("_cell.col"))
+              .join(F.broadcast(registers), ["row", "col"], "left"))
+    others = [f for f in tokens.columns]
+    return (probed.groupBy(*others)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))
+
+
+def cms_oracle_sql(depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                   topk: int = 20) -> str:
+    """Full DuckDB replay of the heavy-hitter query: token split,
+    polynomial hashes, register matrix, min-probe estimate, exact
+    totals, deterministic top-k — identical integer arithmetic."""
+    a, b, c = cms_params(depth)
+    rows_values = ", ".join(
+        f"({r}, {int(a[r])}, {int(b[r])}, {int(c[r])})"
+        for r in range(depth))
+    return f"""
+WITH {sk._token_hash_ctes()},
+totals AS (
+  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM tok_counts GROUP BY tok
+),
+rowsv(r, a, b, cc) AS (VALUES {rows_values}),
+cells AS (
+  SELECT rv.r, ((rv.a * th.h1) % {P1} + (rv.b * th.h2) % {P1}
+                + rv.cc) % {P1} % {width} AS col,
+         t.tok, t.total
+  FROM totals t JOIN th USING (tok) CROSS JOIN rowsv rv
+),
+regs AS (
+  SELECT r, col, SUM(total) AS cnt FROM cells GROUP BY r, col
+),
+est AS (
+  SELECT c.tok, c.total, CAST(MIN(g.cnt) AS BIGINT) AS cms_est
+  FROM cells c JOIN regs g ON g.r = c.r AND g.col = c.col
+  GROUP BY c.tok, c.total
+),
+ranked AS (
+  SELECT tok, total, cms_est,
+         ROW_NUMBER() OVER (ORDER BY total DESC, tok) AS rk
+  FROM est
+)
+SELECT tok, total, cms_est FROM ranked WHERE rk <= {topk}
+ORDER BY total DESC, tok
+"""

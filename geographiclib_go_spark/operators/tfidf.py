@@ -1,0 +1,165 @@
+"""Term-frequency cosine similarity via a shingle inverted-index
+join (engine-added).
+
+Token-level similar-document detection that complements the hashed
+MinHash path (operators/dedup.py): documents are sparse unigram TF
+vectors and similar pairs are found WITHOUT an all-pairs product —
+
+- **index**: distinct token TRIGRAMS per document (3-token shingles,
+  the exact — unhashed — analog of the MinHash shingle space), built
+  with JVM array expressions (split -> filter -> transform), no
+  Python.
+- **candidates**: the inverted-index self-join restricted to RARE
+  shingles (document frequency <= max_df).  Each shingle contributes
+  at most df^2 <= max_df^2 candidate pairs, so join fan-out is
+  bounded per key — the classic frequency-bounded posting-list
+  trick.  Unigram candidates would be useless here AND at corpus
+  scale (every unigram is common); shingles are where rarity lives.
+  Pairs sharing only high-df shingles are not candidates; that
+  recall contract is the same shape as LSH banding and is stated,
+  tested, and replayed in the oracle.
+- **verify**: the FULL integer dot product over the pair's shared
+  unigrams plus per-document squared norms, with the cosine
+  threshold applied as an exact integer inequality
+  ``dot^2 * 10000 >= t2 * na2 * nb2`` (t2 = round(10000 * min_sim^2))
+  — no square roots, no floats, bit-identical in DuckDB.
+
+Every emitted value (dot, na2, nb2) is an exact int64; the integer
+inequality is overflow-safe while dot < 3e9 (documents up to ~50k
+tokens) — beyond that, promote to DECIMAL on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geographiclib_go_spark.operators.cms import WS_REGEX_JAVA
+
+
+def _tok_arrays(docs: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """(doc_id, l): the whitespace token array with empties removed —
+    all higher-order JVM array expressions."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), WS_REGEX_JAVA),
+                 lambda x: F.length(x) > 0).alias("l"))
+
+
+def tf_vectors(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, tok, tf) sparse unigram TF posting table — JVM
+    split/explode, one groupBy, whole-stage codegen (no Python)."""
+    return (_tok_arrays(docs, id_col, text_col)
+            .select("doc_id", F.explode("l").alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf")))
+
+
+def shingle_index(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, tri) distinct 3-token shingles — the inverted index
+    keys.  1-based sequence/element_at mirrors the DuckDB oracle's
+    range/list indexing exactly."""
+    arrs = _tok_arrays(docs, id_col, text_col).filter(F.size("l") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("l") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("l", i),
+                              F.element_at("l", i + 1),
+                              F.element_at("l", i + 2)))
+    return (arrs.select("doc_id", F.explode(tri).alias("tri"))
+            .distinct())
+
+
+def tf_cosine_pairs(docs: DataFrame, min_sim: float = 0.88,
+                    max_df: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Similar-document pairs (id_a < id_b, dot, na2, nb2) with
+    unigram cosine >= min_sim among pairs sharing at least one rare
+    trigram shingle."""
+    t2 = int(round(10000 * min_sim * min_sim))
+    tv = tf_vectors(docs, id_col, text_col).cache()
+    norms = tv.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    sh = shingle_index(docs, id_col, text_col).cache()
+    rare = (sh.groupBy("tri").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df))
+    posting = sh.join(rare.select("tri"), "tri")
+    cand = (posting.alias("a")
+            .join(posting.alias("b"), "tri")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    # full dot product over shared unigrams (ALL tokens, not shingles)
+    dots = (cand
+            .join(tv.select(F.col("doc_id").alias("id_a"),
+                            "tok", F.col("tf").alias("tf_a")),
+                  "id_a")
+            .join(tv.select(F.col("doc_id").alias("id_b"),
+                            "tok", F.col("tf").alias("tf_b")),
+                  ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot")))
+    return (dots
+            .join(norms.select(F.col("doc_id").alias("id_a"),
+                               F.col("n2").alias("na2")), "id_a")
+            .join(norms.select(F.col("doc_id").alias("id_b"),
+                               F.col("n2").alias("nb2")), "id_b")
+            .filter(F.col("dot") * F.col("dot") * 10000
+                    >= F.lit(t2) * F.col("na2") * F.col("nb2"))
+            .select("id_a", "id_b", "dot", "na2", "nb2"))
+
+
+def tf_cosine_oracle_sql(min_sim: float = 0.88, max_df: int = 10,
+                         table: str = "documents") -> str:
+    """DuckDB replay: same token arrays, same trigram index, same
+    rare-shingle candidate join, same integer verify inequality."""
+    t2 = int(round(10000 * min_sim * min_sim))
+    from geographiclib_go_spark.operators.sketch_hash import WS_REGEX
+    return f"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{WS_REGEX}'),
+                     x -> length(x) > 0) AS l
+  FROM {table}
+),
+tris AS (
+  SELECT DISTINCT doc_id,
+         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                 for i in range(1, len(l) - 1)]) AS tri
+  FROM arrs WHERE len(l) >= 3
+),
+rare AS (SELECT tri FROM tris GROUP BY tri HAVING count(*) <= {max_df}),
+posting AS (SELECT tris.* FROM tris JOIN rare USING (tri)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM posting a JOIN posting b
+    ON a.tri = b.tri AND a.doc_id < b.doc_id
+),
+tv AS (
+  SELECT doc_id, unnest(l) AS tok FROM arrs
+),
+tvc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tv GROUP BY doc_id, tok
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+  FROM tvc GROUP BY doc_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
+  FROM cand c
+  JOIN tvc ta ON ta.doc_id = c.id_a
+  JOIN tvc tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE d.dot * d.dot * 10000 >= {t2} * na.n2 * nb.n2
+ORDER BY d.id_a, d.id_b
+"""

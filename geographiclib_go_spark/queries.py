@@ -785,6 +785,108 @@ def sphere_arc_destinations(spark, sf_dir):
             .orderBy("qid", "azi"))
 
 
+def _rhumb_sql(r):
+    """SQL fragments replaying kernels/rhumb.py on an ellipsoid: the
+    isometric latitude closed-form and the meridian-arc series with
+    the SAME literal coefficient doubles the kernel computes (repr
+    round-trips, so both engines evaluate identical constants)."""
+    e = float(np.sqrt(r.e2))
+    A = float(r.A)
+    cs = [float(c) for c in r.c_mu]
+    ds = [float(c) for c in r.c_phi]
+
+    def psi(phi, s):
+        return (f"(LN(TAN(PI()/4 + ({phi})/2)) "
+                f"- {e!r}*0.5*LN((1+{e!r}*({s}))/(1-{e!r}*({s}))))")
+
+    def m12(p1, p2):
+        terms = " + ".join(
+            f"{c!r}*COS({k}*(({p1})+({p2})))*SIN({k}*(({p2})-({p1})))"
+            for k, c in enumerate(cs, start=1))
+        return f"({A!r} * ((({p2})-({p1})) + 2*({terms})))"
+
+    def mu(phi):
+        terms = " + ".join(f"{c!r}*SIN({2 * k}*({phi}))"
+                           for k, c in enumerate(cs, start=1))
+        return f"(({phi}) + {terms})"
+
+    def phi_of_mu(m):
+        terms = " + ".join(f"{c!r}*SIN({2 * k}*({m}))"
+                           for k, c in enumerate(ds, start=1))
+        return f"(({m}) + {terms})"
+
+    return {"psi": psi, "m12": m12, "mu": mu, "phi_of_mu": phi_of_mu,
+            "A": A}
+
+
+def rhumb_distance_buckets(spark, sf_dir):
+    """Rhumb-line (loxodrome) inverse on the WGS84 ELLIPSOID with a
+    full DuckDB replay — unlike Karney geodesics the rhumb is
+    closed-form (isometric latitude + meridian-arc series,
+    kernels/rhumb.py), so this is the one ellipsoidal kernel the
+    oracle recomputes outright rather than reading from fixture
+    parquet.  Every customer point to landmark 0: constant course
+    azi12 into the eight 45-deg sectors, length into 1000 km buckets,
+    plus exact integer sums of km-rounded lengths.  The 0.01-deg
+    point grid keeps |dphi| >= 0.0028 deg, so the oracle's plain
+    psi2 - psi1 difference is well-conditioned where the kernel uses
+    divided differences (clearances measured in tests/test_rhumb.py).
+    Scale shape: map-only kernel scan + one tiny aggregation."""
+    pts = _customer_points(spark, sf_dir)
+    from geographiclib_go_spark.functions.geodesic_udfs import (
+        make_rhumb_inverse_udf)
+    rinv = make_rhumb_inverse_udf()
+    lm = LANDMARKS[0]
+    out = rinv(F.lit(float(lm[1])), F.lit(float(lm[2])),
+               F.col("lat"), F.col("lon"))
+    d = (pts.withColumn("_r", out)
+         .select((F.col("_r.s12")).alias("s12"),
+                 (F.col("_r.azi12")).alias("azi12")))
+    return (d.groupBy(
+                F.floor(F.col("s12") / 1e6).cast("long").alias("bucket_mm"),
+                F.least(F.floor((F.col("azi12") + 180.0) / 45.0),
+                        F.lit(7.0)).cast("long").alias("sector"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("s12") / 1000.0).cast("long"))
+                 .alias("sum_km"))
+            .orderBy("bucket_mm", "sector"))
+
+
+def rhumb_destinations(spark, sf_dir):
+    """Rhumb DIRECT problem on WGS84, oracled end-to-end in SQL: for
+    11 landmarks (|lat| <= 65 keeps runs off the poles) x 4 constant
+    courses x 2 ranges, the destination via the rectifying series and
+    its inverse.  The oracle replays mu -> phi with the inverse
+    series alone — the kernel's two Newton polish steps move WGS84
+    results by ~1e-15 deg (n^6 regime), far under the 1e-6-deg
+    rounding."""
+    from geographiclib_go_spark.functions.geodesic_udfs import (
+        make_rhumb_direct_udf)
+    lm = _landmarks_df(spark).filter(F.abs(F.col("lat")) <= 65.0)
+    rdir = make_rhumb_direct_udf()
+    # 88-row constant frame.  The azi/s12 fan-out is a JVM explode of
+    # literal arrays, NOT a crossJoin of local createDataFrame
+    # relations: CartesianProduct re-evaluates the right-side Python
+    # RDD once per left sub-partition, each with a Python-worker
+    # round trip — measured 618 s for these 88 rows before the
+    # rewrite, 2 s after.
+    g = (lm.select(
+            "qid", "lat", "lon",
+            F.explode(F.array(*[F.lit(a) for a in
+                                (40.0, -40.0, 140.0, -140.0)]))
+            .alias("azi"))
+         .select("qid", "lat", "lon", "azi",
+                 F.explode(F.array(F.lit(800_000.0), F.lit(2_000_000.0)))
+                 .alias("s12"))
+         .coalesce(1))
+    out = rdir(F.col("lat"), F.col("lon"), F.col("azi"), F.col("s12"))
+    return (g.withColumn("_d", out)
+            .select("qid", "azi", "s12",
+                    F.round(F.col("_d.lat2"), 6).alias("lat2_r"),
+                    F.round(F.col("_d.lon2"), 6).alias("lon2_r"))
+            .orderBy("qid", "azi", "s12"))
+
+
 def tile_counts(spark, sf_dir):
     """Tile assignment at res 3 over customer points -> per-tile
     counts.  The cube-face quadtree encode (operators/cells.py:
@@ -2259,6 +2361,170 @@ ORACLE_SQL["events_track_stats"] = f"""
            MAX(leg_m) AS max_leg_m
     FROM legs GROUP BY user_id ORDER BY user_id
 """
+
+# rhumb oracles: DuckDB recomputes the ELLIPSOIDAL kernel itself —
+# isometric latitude closed-form + meridian-arc series with literal
+# coefficients shared with kernels/rhumb.py (see _rhumb_sql)
+def _build_rhumb_oracles():
+    from geographiclib_go_spark.kernels.rhumb import WGS84 as _RW
+    q = _rhumb_sql(_RW)
+    lm = LANDMARKS[0]
+    lat1, lon1 = float(lm[1]), float(lm[2])
+    inv = f"""
+        WITH p AS ({_PTS_SQL}),
+        geo AS (
+          SELECT RADIANS({lat1!r}) AS p1, RADIANS(lat) AS p2,
+                 RADIANS(CASE WHEN lon - ({lon1!r}) > 180
+                              THEN lon - ({lon1!r}) - 360
+                              WHEN lon - ({lon1!r}) <= -180
+                              THEN lon - ({lon1!r}) + 360
+                              ELSE lon - ({lon1!r}) END) AS dlam
+          FROM p),
+        r AS (
+          SELECT dlam,
+                 {q['psi']('p2', 'SIN(p2)')}
+                   - {q['psi']('p1', 'SIN(p1)')} AS dpsi,
+                 {q['m12']('p1', 'p2')} AS m12
+          FROM geo),
+        v AS (
+          SELECT SQRT(dpsi*dpsi + dlam*dlam) * m12 / dpsi AS s12,
+                 DEGREES(ATAN2(dlam, dpsi)) AS azi12
+          FROM r)
+        SELECT CAST(FLOOR(s12 / 1e6) AS BIGINT) AS bucket_mm,
+               CAST(LEAST(FLOOR((azi12 + 180.0) / 45.0), 7) AS BIGINT)
+                   AS sector,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(s12 / 1000.0) AS BIGINT)) AS BIGINT)
+                   AS sum_km
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    direct = f"""
+        WITH lm(qid, lat, lon) AS (VALUES {_LM_VALUES_SQL}),
+        az(azi) AS (VALUES (40.0), (-40.0), (140.0), (-140.0)),
+        ds(s12) AS (VALUES (800000.0), (2000000.0)),
+        g AS (SELECT qid, lat, lon, azi, s12, RADIANS(lat) AS p1
+              FROM lm, az, ds WHERE ABS(lat) <= 65),
+        m AS (SELECT *, {q['mu']('p1')}
+                        + s12 * COS(RADIANS(azi)) / {q['A']!r} AS mu2
+              FROM g),
+        f AS (SELECT *, {q['phi_of_mu']('mu2')} AS p2 FROM m),
+        o AS (SELECT qid, azi, s12, DEGREES(p2) AS lat2,
+                     lon + DEGREES(TAN(RADIANS(azi))
+                       * ({q['psi']('p2', 'SIN(p2)')}
+                          - {q['psi']('p1', 'SIN(p1)')})) AS lon2
+              FROM f)
+        SELECT qid, azi, s12, ROUND(lat2, 6) AS lat2_r,
+               ROUND(lon2, 6) AS lon2_r
+        FROM o ORDER BY qid, azi, s12
+    """
+    return inv, direct
+
+
+ORACLE_SQL["rhumb_distance_buckets"], ORACLE_SQL["rhumb_destinations"] = \
+    _build_rhumb_oracles()
+
+
+def doc_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter vocabulary via a Count-Min sketch register table
+    (operators/cms.py): one vectorized tokenize+hash Arrow pass with
+    in-batch bincount combine builds a <= depth*width mergeable
+    register matrix; candidate tokens probe it through a broadcast
+    join and take the row-wise min.  Exact totals ride alongside so
+    the CMS overestimate guarantee (est >= total) is visible in the
+    output.  Top-20 by (total DESC, tok) via TakeOrderedAndProject —
+    a distributed top-k, no single-partition window.  Scale shape:
+    registers are O(depth*width) regardless of corpus size and merge
+    across snapshots by groupBy-sum (same property as the HLL
+    register table)."""
+    from geographiclib_go_spark.operators import cms
+    docs = _t_spread(spark, sf_dir, "documents")
+    regs = cms.cms_registers(docs, "text")
+    toks = (docs.select(F.explode(
+                F.split(F.col("text"), cms.WS_REGEX_JAVA)).alias("tok"))
+            .filter(F.length("tok") > 0)
+            .groupBy("tok").agg(F.count("*").alias("total")))
+    est = cms.cms_estimate(toks, regs, "tok")
+    return (est.select("tok", "total", "cms_est")
+            .orderBy(F.desc("total"), "tok").limit(20))
+
+
+def _build_cms_oracle():
+    from geographiclib_go_spark.operators import cms as _cms
+    return _cms.cms_oracle_sql(topk=20)
+
+
+ORACLE_SQL["doc_heavy_hitters"] = _build_cms_oracle()
+
+
+def lineitem_bloom_semi(spark, sf_dir):
+    """Bloom-filter semi-join pruning (operators/bloom.py): a 16 Kbit
+    deterministic Bloom bitmap over URGENT order keys is shipped as a
+    literal array and probed by pure JVM bit expressions on every
+    lineitem row — map-only, before any exchange.  Output compares
+    per-returnflag bloom-pass counts against the exact semi-join:
+    n_bloom >= n_exact always (no false negatives), the surplus is
+    the false-positive mass the real join then removes.  m is
+    deliberately undersized so the false-positive behavior is visible
+    and oracle-checked at sf0.01 (at sf0.1 the filter saturates
+    toward pass-through — degrades, never corrupts).  Scale shape:
+    register build is one partial-aggregable bit_or shuffle over the
+    SMALL side (<= m/32 rows out); the fact side sees only a codegen
+    filter expression — the exchange it prunes is the 100 TB win."""
+    from geographiclib_go_spark.operators import bloom as bl
+    m, k = 1 << 14, 4
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("key")))
+    words = bl.bloom_literal(bl.bloom_registers(keys, "key", m, k), m)
+    passed = (li.filter(bl.bloom_might_contain(
+                  F.col("l_orderkey"), words, m, k))
+              .groupBy("l_returnflag")
+              .agg(F.count("*").alias("n_bloom")))
+    exact = (li.join(keys.withColumnRenamed("key", "l_orderkey"),
+                     "l_orderkey", "semi")
+             .groupBy("l_returnflag")
+             .agg(F.count("*").alias("n_exact")))
+    return (passed.join(exact, "l_returnflag")
+            .select("l_returnflag", "n_bloom", "n_exact")
+            .orderBy("l_returnflag"))
+
+
+def _build_bloom_oracle():
+    from geographiclib_go_spark.operators import bloom as bl
+    return bl.bloom_oracle_sql(
+        keys_sql="SELECT o_orderkey AS key FROM orders "
+                 "WHERE o_orderpriority = '1-URGENT'",
+        fact_table="lineitem", fact_key="l_orderkey",
+        group_col="l_returnflag", m=1 << 14, k=4)
+
+
+ORACLE_SQL["lineitem_bloom_semi"] = _build_bloom_oracle()
+
+
+def doc_tf_cosine_pairs(spark, sf_dir):
+    """Token-level similar-document pairs via the frequency-bounded
+    shingle inverted-index join (operators/tfidf.py): distinct
+    3-token shingles -> rare-shingle (df <= 10) candidate self-join
+    -> full integer unigram dot product + exact integer cosine
+    threshold (sim >= 0.88, no floats anywhere).  Complements
+    MinHash: same recall-contract shape as LSH banding, but the
+    candidates and the verify are exact (unhashed) and the whole
+    pipeline is plain relational algebra DuckDB replays verbatim.
+    Scale shape: per-shingle join fan-out bounded by max_df^2;
+    verify joins are equi-joins on doc ids."""
+    from geographiclib_go_spark.operators import tfidf as tfi
+    docs = _t_spread(spark, sf_dir, "documents")
+    return (tfi.tf_cosine_pairs(docs, min_sim=0.88, max_df=10)
+            .orderBy("id_a", "id_b"))
+
+
+def _build_tf_cosine_oracle():
+    from geographiclib_go_spark.operators import tfidf as tfi
+    return tfi.tf_cosine_oracle_sql(min_sim=0.88, max_df=10)
+
+
+ORACLE_SQL["doc_tf_cosine_pairs"] = _build_tf_cosine_oracle()
 
 ORACLE_SQL["events_moving_window"] = """
     SELECT event_id, user_id,
