@@ -99,7 +99,9 @@ def bloom_might_contain(key: Column, words: list, m: int = BLOOM_M,
     for i in _bit_indexes(key, m, k):
         word = F.element_at(arr, (i / WORD).cast("int") + 1)
         bit = F.pow(F.lit(2.0), (i % WORD).cast("double")).cast("long")
-        cond = cond & (word.bitwiseAND(bit) == bit)
+        # single-bit mask: & != 0 <=> the bit is set, and evaluates
+        # the pow() once per probe instead of twice
+        cond = cond & (word.bitwiseAND(bit) != 0)
     return cond
 
 

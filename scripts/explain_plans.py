@@ -186,6 +186,33 @@ def main():
         "below the join, so no corpus x corpus pair is ever formed.",
         formatted(Q.docs_incremental_dedup(spark, sf))))
 
+    sections.append((
+        "lineitem_bloom_semi (Bloom pre-shuffle pruning)",
+        "The probed branch is Scan -> Filter(bit expressions over the "
+        "literal word array) -> partial HashAggregate -> Exchange: "
+        "the Bloom probe prunes BEFORE the shuffle, with zero Python "
+        "and no join on the fact side.  The register build on the "
+        "small side is one partial+final bit_or aggregate pair.",
+        formatted(Q.lineitem_bloom_semi(spark, sf))))
+
+    sections.append((
+        "doc_heavy_hitters (Count-Min register probe)",
+        "Register build: MapInPandas (tokenize+hash+bincount combine "
+        "inside the batch) -> partial+final sum on (row, col).  "
+        "Estimate: candidates explode to depth cells and probe the "
+        "register table through a BroadcastHashJoin; top-20 is "
+        "TakeOrderedAndProject, never a single-partition window.",
+        formatted(Q.doc_heavy_hitters(spark, sf))))
+
+    sections.append((
+        "doc_tf_cosine_pairs (shingle inverted-index join)",
+        "Candidates come from the rare-shingle self-join (equi-join "
+        "on tri after the df<=max_df filter — bounded fan-out per "
+        "key); the verify is a pair of equi-joins back to the "
+        "unigram posting table plus one aggregation.  All joins are "
+        "hash equi-joins; nothing is all-pairs.",
+        formatted(Q.doc_tf_cosine_pairs(spark, sf))))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "

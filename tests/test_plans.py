@@ -406,3 +406,46 @@ def test_sketch_quantiles_within_relative_error_bound(spark):
             tru = vals[math.ceil(q * n / 100) - 1]
             assert tru <= est <= tru * (1 + 2**-5) + 0.01, \
                 (t, q, est, tru)
+
+
+def test_bloom_probe_is_prescan_filter_no_exchange(spark, sf_dir):
+    """The Bloom membership probe must be a plain Filter sitting on
+    the parquet scan — codegen expressions only, evaluated BEFORE the
+    partial aggregate and the Exchange (that pre-shuffle pruning is
+    the operator's whole point)."""
+    from pyspark.sql import functions as F
+    from geographiclib_go_spark.operators import bloom as bl
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    words = [3] * ((1 << 14) // bl.WORD)
+    probed = (li.filter(bl.bloom_might_contain(
+                  F.col("l_orderkey"), words, 1 << 14, 4))
+              .groupBy("l_returnflag").count())
+    plan = _plan(probed)
+    # no Python evaluation anywhere, and the Filter precedes
+    # (= appears BELOW, i.e. later in the string than) the Exchange
+    assert "Python" not in plan, plan
+    assert "Filter" in plan and "Exchange" in plan, plan
+    assert plan.index("Exchange") < plan.index("Filter"), plan
+    # register build: partial bit_or before its shuffle
+    regs = bl.bloom_registers(
+        li.select(F.col("l_orderkey").alias("key")), "key", 1 << 14, 4)
+    rplan = _plan(regs)
+    assert "partial_bit_or" in rplan or "partial" in rplan, rplan
+
+
+def test_cms_estimate_broadcasts_registers(spark):
+    """The CMS min-probe must join candidates against the register
+    table with a BroadcastHashJoin (registers are O(depth*width),
+    candidates unbounded)."""
+    from pyspark.sql import functions as F
+    from geographiclib_go_spark.operators import cms
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common word") for i in range(40)],
+        "doc_id long, text string")
+    regs = cms.cms_registers(docs, "text")
+    toks = (docs.select(F.explode(F.split("text", cms.WS_REGEX_JAVA))
+                        .alias("tok"))
+            .filter(F.length("tok") > 0).distinct())
+    est = cms.cms_estimate(toks, regs, "tok")
+    plan = _plan(est)
+    assert "BroadcastHashJoin" in plan, plan
