@@ -69,7 +69,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "window_top_orders", "rollup_order_volume", "events_hourly",
         "events_asof_view", "events_sessionize", "events_track_stats",
         "events_interval_join", "events_value_sketch_quantiles",
-        "track_simplify", "track_map_match",
+        "track_simplify", "track_map_match", "track_lat_envelope",
         "sphere_distance_buckets", "sql_distance_buckets", "sphere_radius_join", "sphere_knn",
         "pip_dateline_box", "sphere_direct_destinations",
         "rhumb_distance_buckets", "rhumb_destinations",

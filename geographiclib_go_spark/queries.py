@@ -2526,6 +2526,83 @@ def _build_tf_cosine_oracle():
 
 ORACLE_SQL["doc_tf_cosine_pairs"] = _build_tf_cosine_oracle()
 
+
+def track_lat_envelope(spark, sf_dir):
+    """Exact per-leg latitude bounds via Clairaut's relation
+    (operators/envelope.py): a leg's extreme latitude is the VERTEX
+    latitude (acos|sin azi1 * cos lat1| on the sphere) when the
+    azimuth crosses +/-90 deg inside the leg, else an endpoint.
+    This is the index-pruning primitive endpoint-only boxes get
+    wrong.  Kernel azimuths (AZIMUTH caps), JVM trig columns for the
+    vertex mapping; the oracle recomputes both azimuths closed-form
+    (the f=0 reduction) and replays the same CASE logic.  Map-only
+    after the leg window; clearances (azimuth-sign margin, rounding
+    grid distance) are measured in tests/test_envelope.py."""
+    from geographiclib_go_spark.operators import envelope as env
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id").cast("long")
+    pos = ev.select("user_id", "ts", "event_id",
+                    (((e * 131) % 6000) / 100.0 - 30.0).alias("lat"),
+                    (((e * 211) % 12000) / 100.0 - 60.0).alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = (pos
+            .withColumn("plat", F.lag("lat").over(w))
+            .withColumn("plon", F.lag("lon").over(w))
+            .filter(F.col("plat").isNotNull()))
+    out = env.with_lat_envelope(legs, "plat", "plon", "lat", "lon",
+                                a=SPHERE_A, f=0.0)
+    return (out.select(F.col("event_id").cast("long").alias("event_id"),
+                       "vtx",
+                       F.round("lat_lo", 6).alias("lat_lo_r"),
+                       F.round("lat_hi", 6).alias("lat_hi_r"))
+            .orderBy("event_id"))
+
+
+ORACLE_SQL["track_lat_envelope"] = """
+    WITH pos AS (
+      SELECT user_id, ts, event_id,
+             ((CAST(event_id AS BIGINT) * 131) % 6000) / 100.0 - 30.0
+               AS lat,
+             ((CAST(event_id AS BIGINT) * 211) % 12000) / 100.0 - 60.0
+               AS lon
+      FROM events),
+    lg AS (
+      SELECT user_id, event_id, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+      FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    az AS (
+      SELECT event_id, lat, lon, plat, plon,
+             DEGREES(ATAN2(
+                 SIN(RADIANS(lon - plon)) * COS(RADIANS(lat)),
+                 COS(RADIANS(plat)) * SIN(RADIANS(lat))
+                 - SIN(RADIANS(plat)) * COS(RADIANS(lat))
+                   * COS(RADIANS(lon - plon)))) AS azi1,
+             -- forward azimuth at p2: back-azimuth p2->p1 plus 180,
+             -- so cos(azi2) = -cos(back)
+             -COS(RADIANS(DEGREES(ATAN2(
+                 SIN(RADIANS(plon - lon)) * COS(RADIANS(plat)),
+                 COS(RADIANS(lat)) * SIN(RADIANS(plat))
+                 - SIN(RADIANS(lat)) * COS(RADIANS(plat))
+                   * COS(RADIANS(plon - lon)))))) AS ca2
+      FROM lg WHERE plat IS NOT NULL),
+    env AS (
+      SELECT event_id,
+             COS(RADIANS(azi1)) AS ca1, ca2,
+             DEGREES(ACOS(ABS(SIN(RADIANS(azi1)) * COS(RADIANS(plat)))))
+               AS vlat,
+             lat, plat
+      FROM az)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(CASE WHEN ca1 > 0 AND ca2 < 0 THEN 1
+                     WHEN ca1 < 0 AND ca2 > 0 THEN -1
+                     ELSE 0 END AS BIGINT) AS vtx,
+           ROUND(CASE WHEN ca1 < 0 AND ca2 > 0 THEN -vlat
+                      ELSE LEAST(plat, lat) END, 6) AS lat_lo_r,
+           ROUND(CASE WHEN ca1 > 0 AND ca2 < 0 THEN vlat
+                      ELSE GREATEST(plat, lat) END, 6) AS lat_hi_r
+    FROM env ORDER BY event_id
+"""
+
 ORACLE_SQL["events_moving_window"] = """
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
