@@ -80,7 +80,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "raster_coverage", "region_dissolve",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
         "doc_heavy_hitters", "lineitem_bloom_semi",
-        "doc_tf_cosine_pairs",
+        "doc_tf_cosine_pairs", "customer_moran",
         "docs_clean_pipeline", "docs_incremental_dedup",
         "doc_minhash_pairs",
         "doc_simhash_pairs", "doc_simhash_pairs_h3",

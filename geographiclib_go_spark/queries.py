@@ -2527,6 +2527,43 @@ def _build_tf_cosine_oracle():
 ORACLE_SQL["doc_tf_cosine_pairs"] = _build_tf_cosine_oracle()
 
 
+def customer_moran(spark, sf_dir):
+    """Global Moran's I of customer-point density over a 5-deg cell
+    lattice with queen (8-neighbor, lon-wrapping) weights
+    (operators/moran.py).  Cell keys come straight from c_custkey
+    INTEGER arithmetic (centi-degree div 500) — no float floor, so
+    the grid is bit-identical across engines; deviations are scaled
+    by n to keep NUM / DEN / W exact BIGINTs, and only the final
+    ratio is a correctly-rounded double.  Scale shape: one groupBy
+    for cells, broadcast scalar totals, 8-way explode + hash
+    equi-join on the cell key — no distance predicate anywhere."""
+    from geographiclib_go_spark.operators import moran as mo
+    cells = (_t(spark, sf_dir, "customer")
+             .select(F.expr("CAST((CAST(c_custkey AS BIGINT) * 9973) "
+                            "% 17000 DIV 500 AS BIGINT)").alias("iy"),
+                     F.expr("CAST((CAST(c_custkey AS BIGINT) * 7919) "
+                            "% 36000 DIV 500 AS BIGINT)").alias("ix"))
+             .groupBy("iy", "ix").agg(F.count("*").alias("x")))
+    return mo.morans_i_grid(cells, nx_wrap=72)
+
+
+ORACLE_SQL_CUSTOMER_MORAN_CELLS = """
+  SELECT (c_custkey * 9973) % 17000 // 500 AS iy,
+         (c_custkey * 7919) % 36000 // 500 AS ix,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM customer GROUP BY 1, 2
+"""
+
+
+def _build_moran_oracle():
+    from geographiclib_go_spark.operators import moran as mo
+    return mo.morans_i_oracle_sql(ORACLE_SQL_CUSTOMER_MORAN_CELLS,
+                                  nx_wrap=72)
+
+
+ORACLE_SQL["customer_moran"] = _build_moran_oracle()
+
+
 def track_lat_envelope(spark, sf_dir):
     """Exact per-leg latitude bounds via Clairaut's relation
     (operators/envelope.py): a leg's extreme latitude is the VERTEX
