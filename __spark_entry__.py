@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tf_cosine_pairs": Q.doc_tf_cosine_pairs,
         "track_lat_envelope": Q.track_lat_envelope,
         "customer_moran": Q.customer_moran,
+        "customer_hilbert_locality": Q.customer_hilbert_locality,
         "tile_counts": Q.tile_counts,
         "tile_pyramid": Q.tile_pyramid,
         "tile_counts_salted": Q.tile_counts_salted,

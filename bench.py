@@ -81,6 +81,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",
         "doc_heavy_hitters", "lineitem_bloom_semi",
         "doc_tf_cosine_pairs", "customer_moran",
+        "customer_hilbert_locality",
         "docs_clean_pipeline", "docs_incremental_dedup",
         "doc_minhash_pairs",
         "doc_simhash_pairs", "doc_simhash_pairs_h3",

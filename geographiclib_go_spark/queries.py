@@ -2564,6 +2564,96 @@ def _build_moran_oracle():
 ORACLE_SQL["customer_moran"] = _build_moran_oracle()
 
 
+def customer_hilbert_locality(spark, sf_dir):
+    """Hilbert vs Morton layout locality (operators/hilbert.py),
+    measured by the metric that actually matters for a columnar
+    layout: the number of CONTIGUOUS RANK RUNS a rectangular region
+    read touches (each run = one contiguous row-group range; Moon et
+    al.'s clustering result).  81 unaligned 8x8 query boxes slide
+    over a 32x32 integer grid of occupied customer cells (keys from
+    c_custkey integer arithmetic, no float floor); a run starts at a
+    cell whose rank-1 predecessor is absent from the same box, so
+    runs = an anti-join count — no sort anywhere.  Hilbert needs
+    ~40% fewer runs than Morton on dense boxes (pinned in
+    tests/test_hilbert.py; the naive adjacent-pair |rank diff| sum
+    metric actually FAVORS Morton, which is why this query counts
+    runs instead).  Ranks are unrolled integer/CASE chains in
+    whole-stage codegen (Spark) and one CTE per bit plane (DuckDB) —
+    bit-for-bit, all-integer output.  Scale shape: one distinct for
+    cells, broadcast 81-row box dim, two hash anti-joins."""
+    from geographiclib_go_spark.operators import hilbert as hb
+    cells = (_t(spark, sf_dir, "customer")
+             .select(F.expr("CAST((CAST(c_custkey AS BIGINT) * 7919) "
+                            "% 36000 * 32 DIV 36000 AS BIGINT)")
+                     .alias("x"),
+                     F.expr("CAST((CAST(c_custkey AS BIGINT) * 9973) "
+                            "% 17000 * 32 DIV 17000 AS BIGINT)")
+                     .alias("y"))
+             .distinct())
+    cells = hb.with_hilbert_rank(cells, "x", "y", 5) \
+        .withColumn("md", hb.morton_d_col(F.col("x"), F.col("y"), 5))
+    boxes = spark.range(81).select(
+        F.col("id").alias("bid"),
+        ((F.col("id") % 9) * 3).alias("x0"),
+        ((F.col("id") / 9).cast("long") * 3).alias("y0"))
+    inbox = (cells.join(
+        F.broadcast(boxes),
+        (F.col("x") >= F.col("x0")) & (F.col("x") <= F.col("x0") + 7)
+        & (F.col("y") >= F.col("y0"))
+        & (F.col("y") <= F.col("y0") + 7))
+        .select("bid", "hd", "md").cache())
+    hr = (inbox.join(
+        inbox.select("bid", (F.col("hd") + 1).alias("hd")),
+        ["bid", "hd"], "left_anti")
+        .agg(F.count("*").cast("long").alias("hilbert_runs")))
+    mr = (inbox.join(
+        inbox.select("bid", (F.col("md") + 1).alias("md")),
+        ["bid", "md"], "left_anti")
+        .agg(F.count("*").cast("long").alias("morton_runs")))
+    n = inbox.agg(F.count("*").cast("long").alias("n_box_cells"))
+    return n.crossJoin(hr).crossJoin(mr)
+
+
+def _build_hilbert_oracle():
+    from geographiclib_go_spark.operators import hilbert as hb
+    cells_sql = """
+  SELECT DISTINCT
+         (c_custkey * 7919) % 36000 * 32 // 36000 AS x,
+         (c_custkey * 9973) % 17000 * 32 // 17000 AS y
+  FROM customer
+"""
+    return f"""
+WITH cells AS ({cells_sql}),
+{hb.hilbert_oracle_ctes(5, src="cells", out="hcells")},
+ranked AS (
+  SELECT x, y, hd, {hb.morton_oracle_expr(5)} AS md FROM hcells
+),
+boxes AS (
+  SELECT i AS bid, (i % 9) * 3 AS x0, (i // 9) * 3 AS y0
+  FROM range(81) t(i)
+),
+inbox AS (
+  SELECT b.bid, r.hd, r.md
+  FROM ranked r JOIN boxes b
+    ON r.x BETWEEN b.x0 AND b.x0 + 7
+   AND r.y BETWEEN b.y0 AND b.y0 + 7
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_box_cells,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+           SELECT 1 FROM inbox p
+           WHERE p.bid = a.bid AND p.hd = a.hd - 1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS hilbert_runs,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+           SELECT 1 FROM inbox q
+           WHERE q.bid = a.bid AND q.md = a.md - 1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS morton_runs
+FROM inbox a
+"""
+
+
+ORACLE_SQL["customer_hilbert_locality"] = _build_hilbert_oracle()
+
+
 def track_lat_envelope(spark, sf_dir):
     """Exact per-leg latitude bounds via Clairaut's relation
     (operators/envelope.py): a leg's extreme latitude is the VERTEX
