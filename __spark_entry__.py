@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_lat_envelope": Q.track_lat_envelope,
         "customer_moran": Q.customer_moran,
         "customer_hilbert_locality": Q.customer_hilbert_locality,
+        "emb_kmeans": Q.emb_kmeans,
         "tile_counts": Q.tile_counts,
         "tile_pyramid": Q.tile_pyramid,
         "tile_counts_salted": Q.tile_counts_salted,

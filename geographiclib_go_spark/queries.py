@@ -2654,6 +2654,37 @@ FROM inbox a
 ORACLE_SQL["customer_hilbert_locality"] = _build_hilbert_oracle()
 
 
+def emb_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/kmeans.py), k=10, THREE
+    unrolled iterations from seed-row init, over integer-QUANTIZED
+    embeddings — the quantization is what puts an ITERATIVE algorithm
+    under the full hash gate: every distance, centroid (floor-mean),
+    and the final inertia are exact BIGINTs both engines reproduce,
+    where float centroids would diverge by summation order.  Output:
+    per-cluster size, member-id power sum (the membership witness,
+    same convention as doc_train_val_split), and integer inertia.
+    Scale shape per iteration: k-row broadcast centroid join (map-
+    only assign, zip_with/aggregate JVM expressions) + ONE partial-
+    aggregated shuffle for the coordinate sums."""
+    from geographiclib_go_spark.operators import kmeans as km
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = km.quantized(emb)
+    final = km.kmeans_iterate(vecs, k=10, iters=3, dim=64)
+    return (final.groupBy("cid")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("vid").cast("long").alias("id_sum"),
+                 F.sum("dist").cast("long").alias("inertia"))
+            .orderBy("cid"))
+
+
+def _build_kmeans_oracle():
+    from geographiclib_go_spark.operators import kmeans as km
+    return km.kmeans_oracle_sql(k=10, iters=3, dim=64)
+
+
+ORACLE_SQL["emb_kmeans"] = _build_kmeans_oracle()
+
+
 def track_lat_envelope(spark, sf_dir):
     """Exact per-leg latitude bounds via Clairaut's relation
     (operators/envelope.py): a leg's extreme latitude is the VERTEX
