@@ -213,6 +213,47 @@ def main():
         "hash equi-joins; nothing is all-pairs.",
         formatted(Q.doc_tf_cosine_pairs(spark, sf))))
 
+    sections.append((
+        "customer_moran (Moran's I over a cell lattice)",
+        "One HashAggregate pair builds the cell table; the scalar "
+        "totals (n, sum, sum of squares) broadcast back; the queen "
+        "neighborhood is a map-side 8-way explode feeding a single "
+        "hash equi-join on the neighbor cell key — there is NO "
+        "distance predicate and no nested-loop node anywhere.  All "
+        "arithmetic is BIGINT inside WholeStageCodegen.",
+        formatted(Q.customer_moran(spark, sf))))
+
+    sections.append((
+        "customer_hilbert_locality (layout run-count locality)",
+        "The Hilbert/Morton ranks are unrolled integer CASE chains in "
+        "WholeStageCodegen — zero Python.  The 81-row box dim joins "
+        "via an explicit BroadcastHashJoin (range predicate on a "
+        "broadcast is fine: the stream side stays map-only); the "
+        "run counts are two hash LeftAnti self-joins over the cached "
+        "inbox table (InMemoryTableScan feeds all three consumers) — "
+        "no sort is ever performed to count contiguous runs.",
+        formatted(Q.customer_hilbert_locality(spark, sf))))
+
+    sections.append((
+        "emb_kmeans (3 unrolled Lloyd iterations, k=10)",
+        "Per iteration: the k-row centroid table joins the points via "
+        "BroadcastHashJoin (map-only assign; distances are zip_with/"
+        "aggregate JVM expressions) and the centroid update is ONE "
+        "partial+final HashAggregate pair — so 3 iterations cost "
+        "exactly 3 small shuffles of k rows each plus 3 broadcast "
+        "scans of the fact table.  No Python, no driver-side loop "
+        "state: the unrolled lineage IS the iteration.",
+        formatted(Q.emb_kmeans(spark, sf))))
+
+    sections.append((
+        "track_lat_envelope (Clairaut per-leg latitude bounds)",
+        "One Window exchange on user_id builds the legs; everything "
+        "after — kernel azimuths (ArrowEvalPython, AZIMUTH caps only) "
+        "and the vertex-latitude CASE mapping in JVM trig columns — "
+        "is map-side.  The final Exchange is the query's own ORDER "
+        "BY, not part of the operator.",
+        formatted(Q.track_lat_envelope(spark, sf))))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "
