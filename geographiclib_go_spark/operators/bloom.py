@@ -130,8 +130,12 @@ def bloom_oracle_sql(keys_sql: str, fact_table: str, fact_key: str,
 WITH keys AS ({keys_sql}),
 probes(i, a, b) AS (VALUES {probes}),
 kidx AS (
+  -- (((key % P1) + P1) % P1) = Spark's pmod: DuckDB's % is
+  -- sign-preserving, so negative keys would otherwise map to
+  -- different bit indexes than the engine's build/probe
   SELECT k.key, p.i,
-         ((p.a * (k.key % {P1}) + p.b) % {P1}) % {m} AS idx
+         ((p.a * (((k.key % {P1}) + {P1}) % {P1}) + p.b) % {P1}) % {m}
+           AS idx
   FROM keys k CROSS JOIN probes p
 ),
 regs AS (
@@ -142,7 +146,8 @@ regs AS (
 fkeys AS (SELECT DISTINCT {fact_key} AS key FROM {fact_table}),
 fidx AS (
   SELECT fk.key, p.i,
-         ((p.a * (fk.key % {P1}) + p.b) % {P1}) % {m} AS idx
+         ((p.a * (((fk.key % {P1}) + {P1}) % {P1}) + p.b) % {P1}) % {m}
+           AS idx
   FROM fkeys fk CROSS JOIN probes p
 ),
 verdict AS (

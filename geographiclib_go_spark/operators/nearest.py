@@ -179,8 +179,10 @@ def knn_points_topk(points: DataFrame, queries, k: int,
     spark = points.sparkSession
     if isinstance(queries, DataFrame):
         qdf = queries
+        # limit-probe BEFORE materializing: an oversized query side must
+        # raise, not OOM the driver inside collect()
         qrows = [(r[id_col], r[query_cols[0]], r[query_cols[1]])
-                 for r in qdf.collect()]
+                 for r in qdf.limit(MAX_DIM_ROWS + 1).collect()]
     else:
         qrows = list(queries)
         qdf = spark.createDataFrame(
@@ -271,8 +273,9 @@ def radius_dim_join(points: DataFrame, queries, radius_m: float,
     spark = points.sparkSession
     if isinstance(queries, DataFrame):
         qdf = queries
+        # limit-probe BEFORE materializing (see knn_points_topk)
         qrows = [(r[id_col], r[query_cols[0]], r[query_cols[1]])
-                 for r in qdf.collect()]
+                 for r in qdf.limit(MAX_DIM_ROWS + 1).collect()]
     else:
         qrows = list(queries)
         qdf = spark.createDataFrame(
@@ -342,7 +345,10 @@ def nearest_dim_join(big: DataFrame, dim, k: int = 1,
     """
     if isinstance(dim, DataFrame):
         cols = dim.columns
-        dim = [(r[cols[0]], r["lat"], r["lon"]) for r in dim.collect()]
+        # limit-probe BEFORE materializing; make_nearest_dim_udf re-checks
+        # the exact 1..MAX_DIM_ROWS bound on whatever list arrives
+        dim = [(r[cols[0]], r["lat"], r["lon"])
+               for r in dim.limit(MAX_DIM_ROWS + 1).collect()]
     udf = make_nearest_dim_udf(dim, k=k, a=a, f=f)
     out = big.withColumn("_nn", udf(F.col(lat_col), F.col(lon_col)))
     if k == 1:

@@ -24,6 +24,26 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+# Hard ceiling for the declared-O(n^2) oracle twins.  They exist to
+# verify the bucketed/probed scale paths on fixture-sized data; nothing
+# should ever invoke them on a production table, and past this many rows
+# they raise instead of silently launching a quadratic job.
+BRUTE_FORCE_MAX_ROWS = 100_000
+
+
+def assert_fixture_sized(df: DataFrame, what: str,
+                         cap: int = BRUTE_FORCE_MAX_ROWS) -> DataFrame:
+    """Raise if `df` exceeds `cap` rows.  Uses a limit-probe count (never
+    materializes more than cap+1 rows) so the guard itself is safe on an
+    arbitrarily large input."""
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{what} is a declared O(n^2) fixture-sized oracle; input "
+            f"exceeds {cap} rows — use the bucketed/probed scale path "
+            "(ivf_topk / cosine_near_dup_pairs) instead")
+    return df
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
@@ -45,8 +65,9 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
     arithmetic, TakeOrdered per query."""
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("_qvec"))
-    c = corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("_cvec"))
+    c = assert_fixture_sized(
+        corpus, "cosine_topk_bruteforce").select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
     j = c.crossJoin(F.broadcast(q))
     j = j.withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),

@@ -24,9 +24,15 @@ vectors and similar pairs are found WITHOUT an all-pairs product —
   ``dot^2 * 10000 >= t2 * na2 * nb2`` (t2 = round(10000 * min_sim^2))
   — no square roots, no floats, bit-identical in DuckDB.
 
-Every emitted value (dot, na2, nb2) is an exact int64; the integer
-inequality is overflow-safe while dot < 3e9 (documents up to ~50k
-tokens) — beyond that, promote to DECIMAL on both engines.
+Every emitted value (dot, na2, nb2) is an exact int64.  Overflow
+bounds for the inequality (int64 max ~9.22e18): the LHS
+``dot^2 * 10000`` fits only while dot <= ~3.0e7, and the RHS
+``t2 * na2 * nb2`` (t2 <= 10^4) fits only while na2 * nb2 <= ~9.2e14
+— i.e. per-document squared norms up to ~3e7, which a single token
+repeated ~5.5k times already reaches.  Non-ANSI Spark would wrap
+silently past these, so past either bound promote BOTH engines to
+DECIMAL(38,0) (or compare via doubles with an epsilon band).  The
+fixture corpora stay orders of magnitude below the bounds.
 """
 
 from __future__ import annotations

@@ -80,9 +80,29 @@ def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is added to the 100 TB plan."""
     df = _t(spark, sf_dir, name)
     slots = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < slots:
+    if _estimate_scan_partitions(spark, f"{sf_dir}/{name}.parquet") < slots:
         df = df.repartition(slots)
     return df
+
+
+def _estimate_scan_partitions(spark: SparkSession, path: str) -> int:
+    """Estimate how many input splits the parquet scan will produce from
+    file sizes alone (Spark splits each file into
+    ~ceil(size / files.maxPartitionBytes) partitions).  Pure filesystem
+    metadata — no df.rdd conversion, no Spark job on the query hot path."""
+    try:
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                       "134217728").rstrip("b"))
+    except Exception:
+        max_bytes = 128 * 1024 * 1024
+    if os.path.isdir(path):
+        sizes = [e.stat().st_size for e in os.scandir(path)
+                 if e.is_file() and not e.name.startswith(("_", "."))]
+    elif os.path.isfile(path):
+        sizes = [os.path.getsize(path)]
+    else:
+        return 1 << 30  # non-local path: assume big, skip the spread
+    return sum(max(1, -(-s // max_bytes)) for s in sizes) or 1
 
 
 def _customer_points(spark, sf_dir) -> DataFrame:
@@ -1587,7 +1607,8 @@ def emb_cosine_topk(spark, sf_dir):
 
 
 def emb_similar_pairs(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = sim.assert_fixture_sized(
+        _t(spark, sf_dir, "embeddings"), "emb_similar_pairs").select(
         "vec_id", F.col("embedding").cast("array<double>")
         .alias("embedding"))
     a = emb.select(F.col("vec_id").alias("id_a"),
@@ -2411,11 +2432,19 @@ def _build_rhumb_oracles():
         o AS (SELECT qid, azi, s12, DEGREES(p2) AS lat2,
                      lon + DEGREES(TAN(RADIANS(azi))
                        * ({q['psi']('p2', 'SIN(p2)')}
-                          - {q['psi']('p1', 'SIN(p1)')})) AS lon2
-              FROM f)
+                          - {q['psi']('p1', 'SIN(p1)')})) AS lon2u
+              FROM f),
+        -- wrap to (-180, 180] like the kernel's ang_normalize (the
+        -- current landmark/course/range fan-out stays |lon2| < 180,
+        -- but a longer s12 past the dateline must not break the hash;
+        -- the exact +/-180 boundary is measure-zero under ROUND(,6))
+        w AS (SELECT qid, azi, s12, lat2,
+                     lon2u - 360.0 * FLOOR((lon2u + 180.0) / 360.0)
+                       AS lon2
+              FROM o)
         SELECT qid, azi, s12, ROUND(lat2, 6) AS lat2_r,
                ROUND(lon2, 6) AS lon2_r
-        FROM o ORDER BY qid, azi, s12
+        FROM w ORDER BY qid, azi, s12
     """
     return inv, direct
 
@@ -2477,15 +2506,21 @@ def lineitem_bloom_semi(spark, sf_dir):
     keys = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
             .select(F.col("o_orderkey").alias("key")))
     words = bl.bloom_literal(bl.bloom_registers(keys, "key", m, k), m)
-    passed = (li.filter(bl.bloom_might_contain(
-                  F.col("l_orderkey"), words, m, k))
-              .groupBy("l_returnflag")
-              .agg(F.count("*").alias("n_bloom")))
-    exact = (li.join(keys.withColumnRenamed("key", "l_orderkey"),
-                     "l_orderkey", "semi")
-             .groupBy("l_returnflag")
-             .agg(F.count("*").alias("n_exact")))
-    return (passed.join(exact, "l_returnflag")
+    # ONE aggregation over all lineitem rows (conditional sums) so a
+    # returnflag group with zero bloom-passing or zero exact-matching
+    # rows still appears with a 0 count, mirroring the oracle's
+    # GROUP BY over every flag.  keys has unique orderkeys, so the
+    # left-join exact marker never multiplies fact rows.
+    marked = li.join(
+        F.broadcast(keys.withColumnRenamed("key", "l_orderkey")
+                    .withColumn("_exact", F.lit(1))),
+        "l_orderkey", "left")
+    return (marked.groupBy("l_returnflag")
+            .agg(F.sum(bl.bloom_might_contain(
+                     F.col("l_orderkey"), words, m, k).cast("long"))
+                 .alias("n_bloom"),
+                 F.sum(F.coalesce(F.col("_exact"), F.lit(0))
+                       .cast("long")).alias("n_exact"))
             .select("l_returnflag", "n_bloom", "n_exact")
             .orderBy("l_returnflag"))
 

@@ -366,3 +366,22 @@ def test_minhash_cross_pairs_asymmetric(spark):
     for r in got:
         if r["id_a"] == 100 and r["id_b"] == 3:
             assert r["jaccard"] == 1.0
+
+
+def test_bruteforce_oracle_twins_capped(spark):
+    """VERDICT r3 item 3: the declared-O(n^2) oracle twins must raise
+    past BRUTE_FORCE_MAX_ROWS instead of silently launching a
+    quadratic job; the guard itself is a limit-probe count."""
+    import pytest
+    from pyspark.sql import functions as F
+    from geographiclib_go_spark.operators import similarity as sim
+
+    big = (spark.range(sim.BRUTE_FORCE_MAX_ROWS + 1)
+           .select(F.col("id").alias("vec_id"),
+                   F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")))
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "qid long, embedding array<double>")
+    with pytest.raises(ValueError, match="fixture-sized oracle"):
+        sim.cosine_topk_bruteforce(big, q, k=1)
+    with pytest.raises(ValueError, match="fixture-sized oracle"):
+        sim.assert_fixture_sized(big, "emb_similar_pairs")

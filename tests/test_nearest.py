@@ -196,3 +196,21 @@ def test_ellip_nearest_landmark_query_matches_pure_numpy(spark):
                            C.DISTANCE)["s12"]
         want[qid] = (1, round(float(s12.min()), 3))
     assert got == want
+
+
+def test_oversized_query_side_raises_before_materializing(spark):
+    """VERDICT r3 item 3: an oversized query/dim side must raise via a
+    limit-probe, not OOM the driver inside an unbounded collect().
+    The probe collects at most MAX_DIM_ROWS + 1 rows."""
+    big_q = (spark.range(nn.MAX_DIM_ROWS + 1)
+             .select(F.col("id").alias("qid"),
+                     (F.col("id") % 89).cast("double").alias("lat"),
+                     (F.col("id") % 179).cast("double").alias("lon")))
+    pts = spark.createDataFrame([(1, 10.0, 20.0)],
+                                "pid long, lat double, lon double")
+    with pytest.raises(ValueError, match="query side must have"):
+        nn.knn_points_topk(pts, big_q, k=1)
+    with pytest.raises(ValueError, match="query side must have"):
+        nn.radius_dim_join(pts, big_q, radius_m=1000.0)
+    with pytest.raises(ValueError, match="dim side must have"):
+        nn.nearest_dim_join(pts, big_q.withColumnRenamed("qid", "id"))
