@@ -218,6 +218,60 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
             .select("id_a", "id_b", "hamming"))
 
 
+def minhash_band_table(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       bands: int = 16, shingle: int = 5) -> DataFrame:
+    """(doc_id, band, band_key) — the persistable LSH index artifact.
+
+    One row per (document, band); band_key is the exact signature
+    value tuple (a struct of longs), so the table is plain parquet and
+    a probe is an equi-join on (band, band_key).  At ingest scale this
+    is written ONCE per corpus snapshot (plans/lineage.run_stage) and
+    every arriving batch probes it without re-reading corpus text."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_udf(num_hashes, shingle)
+    s = docs.select(F.col(id_col).alias("doc_id"),
+                    sig(F.col(text_col)).alias("_sig"))
+    out = s.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.struct(*[F.col("_sig")[b * rows_per_band + r]
+                                .alias(f"v{r}")
+                                for r in range(rows_per_band)])
+                     .alias("band_key"))
+            for b in range(bands)])).alias("bb"))
+    return out.select("doc_id", "bb.band", "bb.band_key")
+
+
+def minhash_probe_pairs(batch_bands: DataFrame, corpus_bands: DataFrame,
+                        batch_docs: DataFrame, corpus_docs: DataFrame,
+                        threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle: int = 5) -> DataFrame:
+    """Probe stage of incremental dedup: batch band keys equi-join
+    corpus band keys ONLY (never corpus x corpus or batch x batch),
+    then the exact-Jaccard refine fetches text for CANDIDATE ids
+    alone — the corpus text scan is pruned to the collision set, and
+    the corpus signatures come from `corpus_bands` (a persisted
+    artifact), not from recomputation.
+    Output: (id_a = batch doc, id_b = corpus doc, jaccard >= threshold)."""
+    cand = (batch_bands.alias("a")
+            .join(corpus_bands.alias("b"), ["band", "band_key"])
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    ta = batch_docs.select(F.col(id_col).alias("id_a"),
+                           F.col(text_col).alias("_ta"))
+    tb = corpus_docs.select(F.col(id_col).alias("id_b"),
+                            F.col(text_col).alias("_tb"))
+    cand = cand.join(ta, "id_a").join(tb, "id_b")
+    jac = ngram_jaccard_udf(shingle).asNondeterministic()
+    return (cand.withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def minhash_cross_pairs(docs: DataFrame, side_col: str,
                         left_val: str, right_val: str,
                         threshold: float = 0.8,
@@ -226,45 +280,26 @@ def minhash_cross_pairs(docs: DataFrame, side_col: str,
                         shingle: int = 5) -> DataFrame:
     """Asymmetric (ingest-time) LSH near-dup join: candidate pairs
     only BETWEEN the two sides of `side_col` — the incremental-dedup
-    shape where a new batch probes an existing corpus.  Signatures
-    and the band table are computed ONCE over the labeled union (at
-    cluster scale the corpus band table is a persisted artifact the
-    batch probes; the cache() is the sandbox analog), then the band
-    equi-join keys left side against right side only — no
-    corpus x corpus or batch x batch pairs ever materialize, so the
-    join output scales with cross-duplicate density, not corpus
-    density.  Jaccard refine as in minhash_dedup_pairs.
+    shape where a new batch probes an existing corpus.  This is the
+    single-call convenience form: both band tables are computed here
+    (the shared cache() avoids running the signature UDF once per
+    join side).  For the real ingest contract — corpus signatures
+    persisted once, probed by every batch — build the corpus side
+    with minhash_band_table + plans/lineage.run_stage and call
+    minhash_probe_pairs directly (see queries.docs_incremental_dedup).
     Output: (id_a = left side, id_b = right side, jaccard)."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_udf(num_hashes, shingle)
-    s = docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(side_col).alias("_side"),
-                    sig(F.col(text_col)).alias("_sig"))
-    bands_df = s.select(
-        "doc_id", "_side",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.struct(*[F.col("_sig")[b * rows_per_band + r]
-                                .alias(f"v{r}")
-                                for r in range(rows_per_band)])
-                     .alias("band_key"))
-            for b in range(bands)])).alias("bb"))
-    bands_df = bands_df.select("doc_id", "_side", "bb.band",
-                               "bb.band_key").cache()
-    a = bands_df.filter(F.col("_side") == left_val).alias("a")
-    b = bands_df.filter(F.col("_side") == right_val).alias("b")
-    cand = (a.join(b, ["band", "band_key"])
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
-            .distinct())
-    texts = docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("_t"))
-    cand = (cand
-            .join(texts.withColumnRenamed("doc_id", "id_a")
-                  .withColumnRenamed("_t", "_ta"), "id_a")
-            .join(texts.withColumnRenamed("doc_id", "id_b")
-                  .withColumnRenamed("_t", "_tb"), "id_b"))
-    jac = ngram_jaccard_udf(shingle).asNondeterministic()
-    return (cand.withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    sides = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(side_col).alias("_side"),
+                        F.col(text_col).alias(text_col))
+    bands_df = minhash_band_table(
+        sides, text_col, "doc_id", num_hashes, bands, shingle) \
+        .join(sides.select("doc_id", "_side"), "doc_id").cache()
+    left_docs = sides.filter(F.col("_side") == left_val)
+    right_docs = sides.filter(F.col("_side") == right_val)
+    return minhash_probe_pairs(
+        bands_df.filter(F.col("_side") == left_val)
+        .select("doc_id", "band", "band_key"),
+        bands_df.filter(F.col("_side") == right_val)
+        .select("doc_id", "band", "band_key"),
+        left_docs, right_docs, threshold=threshold,
+        text_col=text_col, id_col="doc_id", shingle=shingle)

@@ -1518,31 +1518,53 @@ def pts_dbscan(spark, sf_dir):
             .orderBy("id"))
 
 
+def _dedup_store_root() -> str:
+    """Snapshot-store root for the incremental-dedup corpus index —
+    env-overridable (tests point it at a tmpdir), defaults to the
+    gitignored spark-warehouse next to the repo."""
+    return os.environ.get(
+        "SPARK_GRAFT_STORE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "spark-warehouse", "store"))
+
+
 def docs_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup: a deterministic 20% 'batch' arrives
     against the 80% 'corpus' (same JVM split hash as
     doc_train_val_split, salt 'ingest:').  Every batch doc is
     classified: 'exact_dup' (md5 semi-join against corpus hashes),
-    'near_dup' (asymmetric MinHash-LSH cross join — batch band keys
-    probe corpus band keys only, dedup.minhash_cross_pairs — refined
-    by exact Jaccard >= 0.8), else 'new'.  This is the 100 TB
-    ingest-time shape: corpus signatures are a persisted artifact,
-    the batch probes them, and nothing corpus x corpus is ever
-    joined.  DuckDB replays split hash, md5 join, signatures, band
-    collisions, and the Jaccard refine."""
+    'near_dup' (asymmetric MinHash-LSH probe — batch band keys probe
+    corpus band keys only, refined by exact Jaccard >= 0.8), else
+    'new'.  This is the 100 TB ingest-time shape, now with the real
+    artifact contract (VERDICT r3 item 2): the corpus band table
+    (dedup.minhash_band_table) is PERSISTED once per corpus
+    fingerprint through plans/lineage.run_stage and every call probes
+    the committed snapshot — a rerun never recomputes corpus
+    signatures and touches corpus text only for the candidate ids the
+    Jaccard refine needs.  DuckDB replays split hash, md5 join,
+    signatures, band collisions, and the Jaccard refine."""
+    from geographiclib_go_spark.plans import lineage as lin
     docs = _t_spread(spark, sf_dir, "documents")
     lab = smp.assign_split(docs, "doc_id",
                            weights={"corpus": 0.8, "batch": 0.2},
                            salt="ingest:")
     batch = lab.filter(F.col("split") == "batch")
-    corpus_md5 = (lab.filter(F.col("split") == "corpus")
-                  .select(F.md5("text").alias("_h")).distinct())
+    corpus = lab.filter(F.col("split") == "corpus")
+    corpus_md5 = corpus.select(F.md5("text").alias("_h")).distinct()
     exact = (batch.withColumn("_h", F.md5("text"))
              .join(corpus_md5, "_h", "semi")
              .select("doc_id").withColumn("_ex", F.lit(1)))
-    near = (ded.minhash_cross_pairs(lab, "split", "batch", "corpus",
-                                    threshold=0.8, num_hashes=64,
-                                    bands=8)
+    # corpus LSH index: write-once snapshot keyed by (dataset, params);
+    # a probe against an already-committed snapshot skips the corpus
+    # signature UDF entirely (lineage.run_stage returns the parquet)
+    fp = f"{os.path.abspath(sf_dir)}|minhash64x8s5|ingest80"
+    corpus_bands = lin.run_stage(
+        spark, _dedup_store_root(), "incdedup_corpus_bands",
+        lambda: ded.minhash_band_table(corpus, num_hashes=64, bands=8),
+        input_fingerprint=fp)
+    batch_bands = ded.minhash_band_table(batch, num_hashes=64, bands=8)
+    near = (ded.minhash_probe_pairs(batch_bands, corpus_bands,
+                                    batch, corpus, threshold=0.8)
             .select(F.col("id_a").alias("doc_id")).distinct()
             .withColumn("_nr", F.lit(1)))
     return (batch.select("doc_id")
