@@ -41,9 +41,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geographiclib_go_spark.kernels.geodesic import WGS84_A, WGS84_F
+from geographiclib_go_spark.kernels.geodesic import (
+    GeodesicModel, WGS84_A, WGS84_F)
+from geographiclib_go_spark.operators import cells as kcells
 from geographiclib_go_spark.operators import components as cc
 from geographiclib_go_spark.operators import spatial_join as sj
+
+
+def eps_self_edges(ids: DataFrame, eps_m: float,
+                   a: float = WGS84_A, f: float = WGS84_F) -> DataFrame:
+    """Directed eps-neighborhood edge list (src, dst) of a point set
+    against itself, self-loops included — the DBSCAN step 1 self-join,
+    specialized for symmetry (VERDICT r3 item 5):
+
+    - cell resolution is chosen FROM eps (cell width ~ eps/1.2, i.e.
+      1-2 cells per eps radius) instead of the generic distance-join
+      default (~2.5 cells/radius): a self-join pays the cap-cover
+      explode on EVERY row, so fewer, coarser cover cells win even at
+      slightly more refine candidates;
+    - the exact geodesic kernel runs only on src < dst candidates
+      (the relation is symmetric), halving kernel evaluations; the
+      mirrored edges and the (p, p) self-loops are emitted by pure
+      relational ops afterwards.
+
+    Candidates need no dedup: cap-cover cells are distinct per query
+    row, so a (src, dst) candidate appears exactly once.
+
+    `ids`: (qid long unique, lat, lon)."""
+    g = GeodesicModel(a, f)
+    res = kcells.pick_resolution(eps_m / 1.2, g.b, lo=2, hi=14)
+    r_min = min(g.a, g.b) ** 2 / max(g.a, g.b)
+    radius_rad = eps_m / r_min
+
+    pts = sj.with_cell(ids.select(F.col("qid").alias("dst"),
+                                  F.col("lat").alias("_dlat"),
+                                  F.col("lon").alias("_dlon")),
+                       res, "_dlat", "_dlon", out="_cell")
+    cov = (ids.select(F.col("qid").alias("src"),
+                      F.col("lat").alias("_slat"),
+                      F.col("lon").alias("_slon"))
+           .withColumn("_cell", F.explode(
+               sj.cap_cover_udf(res, radius_rad)(
+                   F.col("_slat"), F.col("_slon")))))
+    inv = sj.make_inverse_s12_udf(a, f)
+    half = (cov.join(pts, "_cell")
+            .filter(F.col("src") < F.col("dst"))
+            .withColumn("s12", inv(F.col("_slat"), F.col("_slon"),
+                                   F.col("_dlat"), F.col("_dlon")))
+            .filter(F.col("s12") <= F.lit(float(eps_m)))
+            .select("src", "dst"))
+    return (half
+            .union(half.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+            .union(ids.select(F.col("qid").alias("src"),
+                              F.col("qid").alias("dst"))))
 
 
 def dbscan(points: DataFrame, eps_m: float, min_pts: int,
@@ -67,16 +118,26 @@ def dbscan(points: DataFrame, eps_m: float, min_pts: int,
     ids = points.select(F.col(id_col).cast("long").alias("qid"),
                         F.col(point_cols[0]).alias("lat"),
                         F.col(point_cols[1]).alias("lon"))
-    pairs = sj.distance_join(points, ids, radius_m=eps_m, a=a, f=f,
-                             point_cols=point_cols,
-                             query_cols=("lat", "lon"),
-                             id_col="qid", strategy=strategy)
-    # directed neighbor list (src -> dst), self-pair included — the
-    # join emits (p, p) at s12 = 0, which is exactly the "including
-    # p" the core test wants
-    edges = (pairs.select(F.col("q_qid").alias("src"),
-                          F.col(id_col).cast("long").alias("dst"))
-             .localCheckpoint(eager=True))  # reused by 4 consumers
+    if strategy == "auto":
+        strategy = ("scan"
+                    if sj._scan_eligible(ids, "qid", limit_rows=4096)
+                    else "cover")
+    if strategy == "scan":
+        # small point set: closure-broadcast scan join (map-only)
+        pairs = sj.distance_join(points, ids, radius_m=eps_m, a=a, f=f,
+                                 point_cols=point_cols,
+                                 query_cols=("lat", "lon"),
+                                 id_col="qid", strategy="scan")
+        # directed neighbor list (src -> dst), self-pair included —
+        # the join emits (p, p) at s12 = 0, which is exactly the
+        # "including p" the core test wants
+        edges = pairs.select(F.col("q_qid").alias("src"),
+                             F.col(id_col).cast("long").alias("dst"))
+    else:
+        # large point set: symmetric celled self-join with
+        # eps-adaptive resolution and src < dst kernel halving
+        edges = eps_self_edges(ids, eps_m, a=a, f=f)
+    edges = edges.localCheckpoint(eager=True)  # reused by 4 consumers
 
     deg = edges.groupBy("src").agg(F.count("*").alias("_n"))
     core = (deg.filter(F.col("_n") >= int(min_pts))

@@ -85,9 +85,6 @@ def tf_cosine_pairs(docs: DataFrame, min_sim: float = 0.88,
     unigram cosine >= min_sim among pairs sharing at least one rare
     trigram shingle."""
     t2 = int(round(10000 * min_sim * min_sim))
-    tv = tf_vectors(docs, id_col, text_col).cache()
-    norms = tv.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     sh = shingle_index(docs, id_col, text_col).cache()
     rare = (sh.groupBy("tri").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df))
@@ -97,14 +94,29 @@ def tf_cosine_pairs(docs: DataFrame, min_sim: float = 0.88,
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"))
-            .distinct())
+            .distinct()
+            .cache())
+    # Prune the RAW documents to CANDIDATE ids before building TF
+    # vectors (VERDICT r3 item 4): candidates are a vanishing fraction
+    # of the corpus at scale, so the token explode + TF groupBy — the
+    # heaviest non-shingle work — runs only over candidate docs, and
+    # the dot join and norm aggregation never see non-candidate
+    # tokens.  Pruning by doc id keeps every token of a retained doc,
+    # so norms computed from the pruned table are exact.
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    tvc = tf_vectors(docs.join(cand_ids, id_col, "semi"),
+                     id_col, text_col).cache()
+    norms = tvc.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     # full dot product over shared unigrams (ALL tokens, not shingles)
     dots = (cand
-            .join(tv.select(F.col("doc_id").alias("id_a"),
-                            "tok", F.col("tf").alias("tf_a")),
+            .join(tvc.select(F.col("doc_id").alias("id_a"),
+                             "tok", F.col("tf").alias("tf_a")),
                   "id_a")
-            .join(tv.select(F.col("doc_id").alias("id_b"),
-                            "tok", F.col("tf").alias("tf_b")),
+            .join(tvc.select(F.col("doc_id").alias("id_b"),
+                             "tok", F.col("tf").alias("tf_b")),
                   ["id_b", "tok"])
             .groupBy("id_a", "id_b")
             .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot")))

@@ -160,3 +160,19 @@ def test_query_role_mix_at_gate_sf(spark):
     # noise rows carry the -1 sentinel
     assert (out.filter((F.col("role") == "noise")
                        & (F.col("cluster_id") != -1)).count() == 0)
+
+
+def test_cover_strategy_matches_scan(spark):
+    """The eps-adaptive symmetric celled self-join (eps_self_edges,
+    VERDICT r3 item 5) must produce the identical clustering as the
+    closure-scan strategy on the same input."""
+    rng = np.random.default_rng(17)
+    for trial, target in ((0, 500_000.0), (1, 2_000_000.0)):
+        n = 80
+        ids = rng.choice(100_000, size=n, replace=False)
+        lat = rng.uniform(-65, 65, n)
+        lon = rng.uniform(-179, 179, n)
+        eps = _clear_eps(lat, lon, target)
+        got_scan = _run(spark, ids, lat, lon, eps, 3, strategy="scan")
+        got_cover = _run(spark, ids, lat, lon, eps, 3, strategy="cover")
+        assert got_cover == got_scan
