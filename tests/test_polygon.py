@@ -222,3 +222,85 @@ def test_dd_accumulation_matches_fsum():
     vals = rng.normal(0, 1e12, 10000)
     hi, lo = kpoly.dd_sum_array(vals)
     assert hi == pytest.approx(math.fsum(vals.tolist()), abs=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Individually pinned Planimeter16-18 / 20 / 22-28 (VERDICT r3 item 8).
+# The Go reference bundles these numbered sub-variants inside its 15/19/21
+# blocks (test_cases.go:813-942); here each one is a standalone assertion
+# on a FRESH PolygonArea so a regression in any single convention
+# combination is named by the failing test id.
+# --------------------------------------------------------------------------
+
+_P15_R = 18454562325.45119     # triangle (2,1)(1,2)(3,3) area
+_P21_R = 39433884866571.4277   # one lat-45 circuit area
+_P21_AZI = 39.2144607176828184218
+_P21_S = 8420705.40957178156285
+
+
+def _p15_polygon():
+    p = WGS84.polygon_area(False)
+    p.add_point(2, 1)
+    p.add_point(1, 2)
+    p.add_point(3, 3)
+    return p
+
+
+@pytest.mark.parametrize("num,rev,sgn,want", [
+    (16, False, False, _P15_R),
+    (17, True, True, -_P15_R),
+    (18, True, False, A0 - _P15_R),
+], ids=lambda v: f"planimeter{v}" if isinstance(v, int) else None)
+def test_planimeter16_18_individual(num, rev, sgn, want):
+    _, _, area = _p15_polygon().compute(rev, sgn)
+    assert area == pytest.approx(want, abs=0.5)
+
+
+def test_planimeter20_polyline_testedge_accumulates():
+    # the numbered degenerate-polyline case inside the 19 block
+    # (test_cases.go:884-892): after one point, TestEdge extends the
+    # open polyline by exactly the edge length
+    pl = WGS84.polygon_area(True)
+    pl.add_point(1, 1)
+    _, per, _ = pl.test_edge(90, 1000, False, True)
+    assert per == pytest.approx(1000, abs=1e-10)
+    _, per, _ = pl.test_point(2, 2, False, True)
+    assert per == pytest.approx(156876.149, abs=0.5e-3)
+
+
+def _p21_polygon(circuits):
+    p = WGS84.polygon_area(False)
+    for _ in range(circuits):
+        p.add_point(45, 60)
+        p.add_point(45, 180)
+        p.add_point(45, -60)
+    return p
+
+
+def _p21_open(circuits):
+    """circuits full circuits plus the first two points of the next."""
+    p = _p21_polygon(circuits - 1)
+    p.add_point(45, 60)
+    p.add_point(45, 180)
+    return p
+
+
+@pytest.mark.parametrize("num,circuits,via,rev,sgn,factor", [
+    (22, 3, "testpoint", False, True, 3.0),
+    (23, 3, "testpoint", True, False, -3.0),
+    (24, 3, "testedge", False, True, 3.0),
+    (25, 3, "testedge", True, False, -3.0),
+    (26, 4, "testpoint", False, True, 4.0),
+    (27, 4, "testedge", False, True, 4.0),
+    (28, 4, "compute", True, False, -4.0),
+], ids=lambda v: f"planimeter{v}" if isinstance(v, int) else None)
+def test_planimeter22_28_individual(num, circuits, via, rev, sgn, factor):
+    want = factor * _P21_R + (A0 if not sgn else 0.0)
+    if via == "compute":
+        _, _, area = _p21_polygon(circuits).compute(rev, sgn)
+    elif via == "testpoint":
+        _, _, area = _p21_open(circuits).test_point(45, -60, rev, sgn)
+    else:
+        _, _, area = _p21_open(circuits).test_edge(_P21_AZI, _P21_S,
+                                                   rev, sgn)
+    assert area == pytest.approx(want, abs=0.5)
