@@ -179,11 +179,14 @@ def main():
         formatted(Q.events_value_sketch_quantiles(spark, sf))))
 
     sections.append((
-        "docs_incremental_dedup (asymmetric ingest LSH)",
-        "The band table is computed ONCE (InMemoryTableScan feeds both "
-        "filter branches); batch side joins corpus side only — the "
-        "equi-join is on (band, band_key) with side filters pushed "
-        "below the join, so no corpus x corpus pair is ever formed.",
+        "docs_incremental_dedup (asymmetric ingest LSH, persisted index)",
+        "The corpus band table is a lineage SNAPSHOT (the probe plan "
+        "reads it as a plain parquet Scan — no corpus signature UDF "
+        "anywhere in this plan); only the 20% batch side runs the "
+        "MinHash kernel.  The candidate equi-join is on (band, "
+        "band_key), batch against the snapshot scan only, so no "
+        "corpus x corpus pair is ever formed, and the Jaccard refine "
+        "joins corpus text for candidate ids alone.",
         formatted(Q.docs_incremental_dedup(spark, sf))))
 
     sections.append((
@@ -208,10 +211,29 @@ def main():
         "doc_tf_cosine_pairs (shingle inverted-index join)",
         "Candidates come from the rare-shingle self-join (equi-join "
         "on tri after the df<=max_df filter — bounded fan-out per "
-        "key); the verify is a pair of equi-joins back to the "
-        "unigram posting table plus one aggregation.  All joins are "
-        "hash equi-joins; nothing is all-pairs.",
+        "key).  The TF posting table is built from a LeftSemi-pruned "
+        "document scan (candidate ids only, r4 trim), so the token "
+        "explode + TF aggregate never see non-candidate docs; the "
+        "verify is a pair of equi-joins back to that pruned posting "
+        "table plus one aggregation.  All joins are hash equi-joins; "
+        "nothing is all-pairs.",
         formatted(Q.doc_tf_cosine_pairs(spark, sf))))
+
+    from geographiclib_go_spark.operators import clustering as _cl
+    _pts = Q._place_points(spark, sf)
+    _ids = _pts.select(F.col("c_custkey").cast("long").alias("qid"),
+                       "lat", "lon")
+    sections.append((
+        "pts_dbscan eps-neighborhood self-join (eps_self_edges)",
+        "DBSCAN step 1 at cover scale (r4): cell resolution is chosen "
+        "FROM eps (~1-2 cells per eps radius), the cap-cover explode "
+        "feeds ONE hash equi-join on _cell, and the exact geodesic "
+        "kernel (ArrowEvalPython) runs only on src < dst candidates — "
+        "the Filter sits BELOW the kernel projection.  The mirrored "
+        "direction and the self-loops are the two Union branches of "
+        "pure relational ops (no second kernel pass).",
+        formatted(_cl.eps_self_edges(_ids, 200_000.0,
+                                     a=Q.SPHERE_A, f=0.0))))
 
     sections.append((
         "customer_moran (Moran's I over a cell lattice)",
