@@ -48,6 +48,12 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        # several queries cache() intermediates for intra-query reuse;
+        # across a 62-entry suite those caches accumulate in the one
+        # local-mode JVM and squeeze execution memory (the r3 518-s
+        # "contended" capture was partly THIS).  Each entry starts
+        # cold: drop everything the previous query pinned.
+        spark.catalog.clearCache()
         return out
 
     # warm the JVM AND the Python/Arrow workers so timings measure the

@@ -132,33 +132,57 @@ def assign_cluster_udf(centroids: np.ndarray, vec_col_dim: int = None,
     return top_clusters
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
-             n_centroids: int = 16, nprobe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             qid_col: str = "qid",
-             centroids: np.ndarray = None) -> DataFrame:
-    """IVF approximate top-k: corpus bucketed by nearest centroid;
-    each query probes its nprobe nearest buckets.  The corpus
-    assignment is reusable (write it once, bucket the table by
-    cluster) — at 10^12 rows this is the only viable shape."""
-    if centroids is None:
-        centroids = train_centroids(corpus, n_centroids, vec_col,
-                                    id_col=id_col)
+def ivf_index(corpus: DataFrame, centroids: np.ndarray,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cluster, _cvec) — the persistable IVF assignment
+    artifact.  At ingest scale this is written ONCE per corpus
+    snapshot (plans/lineage.run_stage with partition_by=["cluster"],
+    so the on-disk layout is bucketed by cluster and a probe scans
+    only the nprobe partitions it needs); every query batch probes
+    the committed snapshot without re-running the assignment UDF."""
     c_assign = assign_cluster_udf(centroids, top=1)
+    return (corpus.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("_cvec"))
+            .withColumn("cluster", c_assign(F.col("_cvec"))))
+
+
+def ivf_probe(index: DataFrame, queries: DataFrame, k: int,
+              nprobe: int, centroids: np.ndarray,
+              vec_col: str = "embedding",
+              qid_col: str = "qid") -> DataFrame:
+    """Probe stage: each query explodes to its nprobe nearest
+    clusters and equi-joins the (persisted) index on cluster — with a
+    cluster-partitioned snapshot this is a partition-pruned scan, the
+    only viable shape at 10^12 rows.  Exact cosine + top-k window on
+    the candidates."""
     q_assign = assign_cluster_udf(centroids, top=nprobe)
-    c = corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("_cvec"))
-    c = c.withColumn("cluster", c_assign(F.col("_cvec")))
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("_qvec"))
     q = q.withColumn("cluster", F.explode(q_assign(F.col("_qvec"))))
-    j = c.join(F.broadcast(q), "cluster")
+    j = index.join(F.broadcast(q), "cluster")
     j = j.withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_cvec")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (j.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "vec_id", "cosine", "rank"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             qid_col: str = "qid",
+             centroids: np.ndarray = None) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid;
+    each query probes its nprobe nearest buckets.  Single-call
+    convenience form of ivf_index + ivf_probe — for the persisted
+    write-once/probe-many contract see queries.emb_ivf_topk."""
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col,
+                                    id_col=id_col)
+    return ivf_probe(ivf_index(corpus, centroids, vec_col, id_col),
+                     queries, k, nprobe, centroids, vec_col, qid_col)
 
 
 def hyperplane_sig_udf(dim: int, bits: int = 16, seed: int = 7):

@@ -1745,7 +1745,14 @@ def emb_ivf_topk(spark, sf_dir):
     oracle SQL re-derives centroids from the same parquet and checks
     bucket assignment + nprobe + top-k hash-exactly.  The k-means
     training path (`train_centroids`) stays available for general use
-    and is recall-gated in tests/test_dedup_similarity.py."""
+    and is recall-gated in tests/test_dedup_similarity.py.
+
+    The corpus assignment is the write-once/probe-many contract
+    (same shape as docs_incremental_dedup's corpus band table): the
+    IVF index snapshots through plans/lineage.run_stage PARTITIONED
+    BY cluster, so a rerun probes the committed cluster-pruned
+    parquet without re-running the assignment UDF over the corpus."""
+    from geographiclib_go_spark.plans import lineage as lin
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>")
         .alias("embedding"))
@@ -1755,9 +1762,14 @@ def emb_ivf_topk(spark, sf_dir):
              .orderBy("vec_id").collect())
     cent = np.array([r.embedding for r in seeds], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    fp = f"{os.path.abspath(sf_dir)}|ivf_seed8"
+    index = lin.run_stage(
+        spark, _dedup_store_root(), "ivf_index_embeddings",
+        lambda: sim.ivf_index(emb, cent),
+        input_fingerprint=fp, partition_by=["cluster"])
     queries = emb.filter(F.col("vec_id") < 10) \
                  .withColumnRenamed("vec_id", "qid")
-    got = sim.ivf_topk(emb, queries, k=5, nprobe=3, centroids=cent)
+    got = sim.ivf_probe(index, queries, k=5, nprobe=3, centroids=cent)
     return (got.select("qid", "vec_id",
                        F.round(F.col("cosine"), 5).alias("cos5"))
             .orderBy("qid", "vec_id"))

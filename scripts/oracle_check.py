@@ -68,6 +68,10 @@ def main():
             results[name] = f"SPARK ERROR: {e}"
             print(f"{name:32s} SPARK ERROR: {e}")
             continue
+        finally:
+            # queries cache() intra-query intermediates; don't let 83
+            # entries' caches pile up in the one local-mode JVM
+            spark.catalog.clearCache()
         wall = time.time() - t0
         if name not in oracles:
             results[name] = f"rows-only: {len(sdf)} rows ({wall:.1f}s)"

@@ -420,3 +420,40 @@ def test_incremental_dedup_probes_persisted_corpus_index(
     hist2 = lin.snapshot_history(str(tmp_path), "incdedup_corpus_bands")
     assert len(hist2) == 1 and hist2[0]["version"] == hist1[0]["version"]
     assert first == second
+
+
+def test_ivf_index_is_persisted_and_probed(spark, tmp_path, monkeypatch):
+    """emb_ivf_topk writes the cluster-partitioned IVF index once per
+    corpus fingerprint (lineage snapshot) and probes the committed
+    parquet on reruns: second call must not re-run ivf_index, must
+    keep one snapshot version, and must return identical rows."""
+    from geographiclib_go_spark import queries as Q
+    from geographiclib_go_spark.plans import lineage as lin
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+
+    calls = []
+    real = sim.ivf_index
+
+    def spy(corpus, *a, **kw):
+        calls.append(1)
+        return real(corpus, *a, **kw)
+
+    monkeypatch.setattr(sim, "ivf_index", spy)
+
+    first = Q.emb_ivf_topk(spark, sf).collect()
+    assert calls == [1]
+    hist1 = lin.snapshot_history(str(tmp_path), "ivf_index_embeddings")
+    assert len(hist1) == 1
+    # the snapshot is physically partitioned by cluster (probe-pruned)
+    import os as _os
+    data = _os.path.join(str(tmp_path), "ivf_index_embeddings",
+                         "snapshots", "v00001", "data")
+    assert any(d.startswith("cluster=") for d in _os.listdir(data))
+
+    second = Q.emb_ivf_topk(spark, sf).collect()
+    assert calls == [1]          # resume: no index recompute
+    hist2 = lin.snapshot_history(str(tmp_path), "ivf_index_embeddings")
+    assert len(hist2) == 1 and hist2[0]["version"] == hist1[0]["version"]
+    assert first == second
