@@ -38,8 +38,12 @@ def run_bench(sf_dir: str = None, cpus: str = None,
                                       "/root/testdata/sf0.1")
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # 2M rows: large enough that the flagship images/s number measures
+    # the pipeline, not fixed stage overhead (at 200k rows the ~1-2 s
+    # of scheduling dominated and the metric under-read ~10x vs the
+    # 64M-row scaling captures)
     n_images = n_images or int(
-        os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+        os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"))
 
     spark = build_session(app="bench", master=f"local[{cpus}]")
     timings = {}
@@ -108,9 +112,15 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     # metric).  Every image is tiled AND annotated with its nearest
     # landmark via the map-only broadcast-argmin join — a single
     # shuffle-free Arrow stage — then rolled up per (tile, landmark).
+    # Placement rows come from the cheap splitmix generator — the
+    # SAME input shape the N-vs-4N scaling captures use
+    # (BENCH/SCALING_*.md), so the flagship number here and the
+    # scaling numbers are directly comparable.  The timed pipeline
+    # never reads image bytes at any scale (column-pruned), so pixel
+    # synthesis would only inflate the untimed generation step.
     from geographiclib_go_spark.operators import nearest as nno
     t0 = time.time()
-    images = im.generate_images(spark, n_images, skew_pct=3).cache()
+    images = im.generate_placements(spark, n_images).cache()
     n_gen = images.count()
     gen_s = time.time() - t0
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from geographiclib_go_spark.functions import localdf as _ldf
 from geographiclib_go_spark.kernels import caps as C
 from geographiclib_go_spark.kernels.geodesic import (
     GeodesicModel, WGS84_A, WGS84_F)
@@ -185,8 +186,8 @@ def knn_points_topk(points: DataFrame, queries, k: int,
                  for r in qdf.limit(MAX_DIM_ROWS + 1).collect()]
     else:
         qrows = list(queries)
-        qdf = spark.createDataFrame(
-            [(int(i), float(la), float(lo)) for i, la, lo in qrows],
+        qdf = _ldf.literal_df(
+            spark, [(int(i), float(la), float(lo)) for i, la, lo in qrows],
             f"{id_col} long, lat double, lon double")
     if not qrows or len(qrows) > MAX_DIM_ROWS:
         raise ValueError(f"query side must have 1..{MAX_DIM_ROWS} rows")
@@ -278,8 +279,8 @@ def radius_dim_join(points: DataFrame, queries, radius_m: float,
                  for r in qdf.limit(MAX_DIM_ROWS + 1).collect()]
     else:
         qrows = list(queries)
-        qdf = spark.createDataFrame(
-            [(int(i), float(la), float(lo)) for i, la, lo in qrows],
+        qdf = _ldf.literal_df(
+            spark, [(int(i), float(la), float(lo)) for i, la, lo in qrows],
             f"{id_col} long, lat double, lon double")
     if not qrows or len(qrows) > MAX_DIM_ROWS:
         raise ValueError(f"query side must have 1..{MAX_DIM_ROWS} rows")

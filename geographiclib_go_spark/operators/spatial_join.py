@@ -438,9 +438,8 @@ def polygon_cover_df(spark: SparkSession, polygons: dict, res: int,
     for pid, (lats, lons) in polygons.items():
         for c in kpip.ring_cells(lats, lons, res, pad_rings).tolist():
             rows.append((int(pid), c))
-    return spark.createDataFrame(
-        rows, T.StructType([T.StructField("poly_id", T.LongType(), False),
-                            T.StructField("_cell", T.LongType(), False)]))
+    from geographiclib_go_spark.functions import localdf as _ldf
+    return _ldf.literal_df(spark, rows, "poly_id long, _cell long")
 
 
 def plan_polygon_res(polygons: dict, target_cells: int = 256,

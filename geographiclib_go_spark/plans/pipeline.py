@@ -50,8 +50,9 @@ ANTARCTICA_RING = (
 
 
 def landmarks_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(int(i), float(la), float(lo)) for i, la, lo in DEFAULT_LANDMARKS],
+    from geographiclib_go_spark.functions import localdf as ldf
+    return ldf.literal_df(
+        spark, [(int(i), float(la), float(lo)) for i, la, lo in DEFAULT_LANDMARKS],
         "qid long, lat double, lon double")
 
 

@@ -38,6 +38,7 @@ from geographiclib_go_spark.operators import dedup as ded
 from geographiclib_go_spark.operators import geohash as gh
 from geographiclib_go_spark.operators import nearest as nno
 from geographiclib_go_spark.operators import sampling as smp
+from geographiclib_go_spark.functions import localdf as ldf
 from geographiclib_go_spark.operators import similarity as sim
 from geographiclib_go_spark.operators import spatial_join as sj
 from geographiclib_go_spark.operators import text as tx
@@ -115,8 +116,8 @@ def _customer_points(spark, sf_dir) -> DataFrame:
 
 
 def _landmarks_df(spark) -> DataFrame:
-    return spark.createDataFrame(
-        [(int(q), float(la), float(lo)) for q, la, lo in LANDMARKS],
+    return ldf.literal_df(
+        spark, [(int(q), float(la), float(lo)) for q, la, lo in LANDMARKS],
         "qid long, lat double, lon double")
 
 
@@ -1072,8 +1073,8 @@ def raster_coverage(spark, sf_dir):
     closed-form and box PIP is a range test, so every pixel count is
     verified by the SQL oracle."""
     from geographiclib_go_spark.operators import raster as rast
-    centers = spark.createDataFrame(
-        [(int(t), float(la), float(lo)) for t, la, lo in _RASTER_CENTERS],
+    centers = ldf.literal_df(
+        spark, [(int(t), float(la), float(lo)) for t, la, lo in _RASTER_CENTERS],
         "tile_id long, clat double, clon double")
     out = rast.rasterize_patches(centers, _RASTER_POLYS,
                                  half_m=_RASTER_HALF_M, px=_RASTER_PX,
@@ -1180,8 +1181,8 @@ def sphere_polygon_area(spark, sf_dir):
     the SQL spherical-excess trapezoid sum."""
     rows = [(tid, seq, float(lats[seq]), float(lons[seq]))
             for tid, (lats, lons) in _TRIANGLES for seq in range(3)]
-    verts = spark.createDataFrame(
-        rows, "poly_id long, seq int, lat double, lon double")
+    verts = ldf.literal_df(
+        spark, rows, "poly_id long, seq int, lat double, lon double")
     res = tiling.polygon_area_agg(verts, a=SPHERE_A, f=0.0)
     return (res.select("poly_id", "num",
                        F.round(F.col("perimeter"), -2).alias("perim_r"),
@@ -1197,8 +1198,8 @@ def sphere_polygon_area_dist(spark, sf_dir):
     grouped-map fold."""
     rows = [(tid, seq, float(lats[seq]), float(lons[seq]))
             for tid, (lats, lons) in _TRIANGLES for seq in range(3)]
-    verts = spark.createDataFrame(
-        rows, "poly_id long, seq int, lat double, lon double") \
+    verts = ldf.literal_df(
+        spark, rows, "poly_id long, seq int, lat double, lon double") \
         .repartition(8)
     res = tiling.polygon_area_distributed(verts, a=SPHERE_A, f=0.0)
     return (res.select("poly_id", "num",
@@ -2494,7 +2495,10 @@ def doc_heavy_hitters(spark, sf_dir):
     register matrix; candidate tokens probe it through a broadcast
     join and take the row-wise min.  Exact totals ride alongside so
     the CMS overestimate guarantee (est >= total) is visible in the
-    output.  Top-20 by (total DESC, tok) via TakeOrderedAndProject —
+    output — ORACLE VISIBILITY ONLY: the production preset is
+    cms.cms_heavy_hitters_scale (local-top candidates + sketch probe,
+    no full-vocabulary aggregation; recall pytest-gated).
+    Top-20 by (total DESC, tok) via TakeOrderedAndProject —
     a distributed top-k, no single-partition window.  Scale shape:
     registers are O(depth*width) regardless of corpus size and merge
     across snapshots by groupBy-sum (same property as the HLL

@@ -264,6 +264,36 @@ INDEX_SCHEMA = T.StructType([
 ])
 
 
+def generate_placements(spark: SparkSession, n: int,
+                        partitions: int = None) -> DataFrame:
+    """(image_id long, phash long, lat, lon) — the CHEAP placement
+    table for throughput/scaling benchmarks (same shape the
+    tile+join flagship consumes; phash is one splitmix64 of the id,
+    placement is the shared area-uniform latlon_from_phash chain).
+    Unlike generate_image_index this does NOT synthesize pixels, so
+    generation cost never pollutes a benchmark window; for
+    content-faithful phashes (dedup oracles, fixtures) use
+    generate_image_index / generate_images."""
+    import pandas as pd  # noqa: F811
+
+    partitions = partitions or max(spark.sparkContext.defaultParallelism,
+                                   4)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64).astype(np.uint64)
+            if ids.size == 0:
+                continue
+            ph = splitmix64(ids).astype(np.int64)
+            lat, lon = latlon_from_phash(ph)
+            yield pd.DataFrame({"image_id": ids.astype(np.int64),
+                                "phash": ph, "lat": lat, "lon": lon})
+
+    return (spark.range(0, n, 1, partitions)
+            .mapInPandas(gen, "image_id long, phash long, "
+                              "lat double, lon double"))
+
+
 def generate_image_index(spark: SparkSession, n: int, skew_pct: int = 3,
                          sizes=(16, 32), lossy_pct: int = 30,
                          partitions: int = None) -> DataFrame:

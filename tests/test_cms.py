@@ -138,3 +138,27 @@ def test_collision_forces_overestimate(spark):
            for r in cms.cms_estimate(toks, regs, "tok",
                                      depth=2, width=1).collect()}
     assert all(v == total for v in est.values())
+
+
+def test_scale_preset_recovers_exact_topk(spark):
+    """cms_heavy_hitters_scale (no full-vocab shuffle) must surface
+    every exact top-k token of the fixture corpus among its
+    candidates, and every estimate must respect the CMS overestimate
+    guarantee (est >= true count)."""
+    from pyspark.sql import functions as F
+    from geographiclib_go_spark.operators import cms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r["tok"]: r["n"] for r in
+             (docs.select(F.explode(F.split("text",
+                                            cms.WS_REGEX_JAVA))
+                          .alias("tok"))
+              .filter(F.length("tok") > 0)
+              .groupBy("tok").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), "tok").limit(10).collect())}
+    got = {r["tok"]: r["cms_est"] for r in
+           cms.cms_heavy_hitters_scale(docs, "text", k=30).collect()}
+    missing = set(exact) - set(got)
+    assert not missing, f"scale preset missed exact top tokens: {missing}"
+    for tok, n in exact.items():
+        assert got[tok] >= n  # overestimate-only guarantee
