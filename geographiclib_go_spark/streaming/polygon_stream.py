@@ -306,3 +306,70 @@ def geofence_transitions_batch(pings: DataFrame, fences,
 
     return (pings.groupBy("device_id")
             .applyInPandas(run, GEOFENCE_SCHEMA))
+
+
+def streaming_ingest_dedup_events(doc_stream: DataFrame,
+                                  corpus_md5: DataFrame,
+                                  corpus_bands: DataFrame,
+                                  corpus_texts: DataFrame,
+                                  threshold: float = 0.8,
+                                  num_hashes: int = 64, bands: int = 8,
+                                  shingle: int = 5,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Streaming ingest-time dedup against a PERSISTED corpus index —
+    the readStream face of queries.docs_incremental_dedup: the static
+    sides are the write-once lineage artifacts (md5 set + MinHash
+    band table, plans/lineage snapshots) and every arriving document
+    probes them with stream-static joins only (append-safe, no
+    stream-stream state, corpus never re-read except for candidate
+    text fetch).
+
+    Emits match EVENTS (doc_id, kind 'exact'|'near', matched_id,
+    jaccard): 'exact' when the md5 matches a corpus hash, 'near' for
+    each banded candidate whose exact n-gram Jaccard >= threshold (a
+    pair colliding in several bands repeats, bounded by `bands` —
+    event consumers treat the stream as a set, and a stateful
+    distinct would cost unbounded streaming state for zero recall).
+    Docs with no event are new — absence is the consumer's fold (a
+    batch compactor or a stateful session), since "no match" is not
+    decidable row-locally in an append stream.  Parity with the batch
+    classifier is pytest-gated.
+
+    corpus_md5:   (_h string)                 distinct md5 hashes
+    corpus_bands: (doc_id, band, band_key)    dedup.minhash_band_table
+    corpus_texts: (doc_id, text)              for the Jaccard refine
+    """
+    from geographiclib_go_spark.operators import dedup as ded
+
+    exact = (doc_stream
+             .withColumn("_h", F.md5(F.col(text_col)))
+             .join(corpus_md5.withColumn("_ex", F.lit(1)), "_h", "inner")
+             .select(F.col(id_col).alias("doc_id"),
+                     F.lit("exact").alias("kind"),
+                     F.lit(None).cast("long").alias("matched_id"),
+                     F.lit(None).cast("double").alias("jaccard")))
+
+    stream_bands = ded.minhash_band_table(
+        doc_stream, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle=shingle)
+    # re-attach the arriving text so the refine never re-reads the
+    # stream source (band explode keeps only doc_id/band/band_key)
+    stream_bands = stream_bands.join(
+        doc_stream.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("_ta")), "doc_id")
+    cand = (stream_bands.alias("a")
+            .join(corpus_bands.alias("b"), ["band", "band_key"])
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a._ta").alias("_ta"),
+                    F.col("b.doc_id").alias("matched_id")))
+    tb = corpus_texts.select(F.col(id_col).alias("matched_id"),
+                             F.col(text_col).alias("_tb"))
+    jac = ded.ngram_jaccard_udf(shingle).asNondeterministic()
+    near = (cand.join(tb, "matched_id")
+            .withColumn("jaccard", jac(F.col("_ta"), F.col("_tb")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id", F.lit("near").alias("kind"),
+                    F.col("matched_id").cast("long"),
+                    F.col("jaccard").cast("double")))
+    return exact.unionByName(near)

@@ -301,3 +301,66 @@ def test_streaming_image_invariants_matches_batch(spark, tmp_path):
                 "psnr_ok"):
         assert np.array_equal(got[col].to_numpy(),
                               want[col].to_numpy()), col
+
+
+def test_streaming_ingest_dedup_matches_batch_classifier(spark, tmp_path):
+    """streaming_ingest_dedup_events probing the SAME persisted corpus
+    artifacts (md5 set + MinHash band table) must classify every
+    batch doc exactly like queries.docs_incremental_dedup: docs with
+    an 'exact' event -> exact_dup, else a 'near' event -> near_dup,
+    else new."""
+    from geographiclib_go_spark import queries as Q
+    from geographiclib_go_spark.operators import dedup as ded
+    from geographiclib_go_spark.operators import sampling as smp
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    lab = smp.assign_split(docs, "doc_id",
+                           weights={"corpus": 0.8, "batch": 0.2},
+                           salt="ingest:")
+    corpus = lab.filter(F.col("split") == "corpus")
+    batch = lab.filter(F.col("split") == "batch").select("doc_id", "text")
+
+    # persisted-index analogs (in the query these are lineage snapshots)
+    corpus_md5 = corpus.select(F.md5("text").alias("_h")).distinct()
+    corpus_bands = ded.minhash_band_table(corpus, num_hashes=64, bands=8)
+    corpus_texts = corpus.select("doc_id", "text")
+    for df, name in ((corpus_md5, "md5"), (corpus_bands, "bands"),
+                     (corpus_texts, "texts")):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    corpus_md5 = spark.read.parquet(str(tmp_path / "md5"))
+    corpus_bands = spark.read.parquet(str(tmp_path / "bands"))
+    corpus_texts = spark.read.parquet(str(tmp_path / "texts"))
+
+    # feed the batch docs as two micro-batch files
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    pdf = batch.orderBy("doc_id").toPandas()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    out = ps.streaming_ingest_dedup_events(
+        stream, corpus_md5, corpus_bands, corpus_texts,
+        threshold=0.8, num_hashes=64, bands=8)
+    q = (out.writeStream.format("memory").queryName("ingest_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM ingest_events").toPandas()
+    finally:
+        q.stop()
+
+    exact_ids = set(ev[ev.kind == "exact"].doc_id)
+    near_ids = set(ev[ev.kind == "near"].doc_id) - exact_ids
+    got = {int(d): ("exact_dup" if d in exact_ids
+                    else "near_dup" if d in near_ids else "new")
+           for d in pdf.doc_id}
+    want = {r["doc_id"]: r["status"]
+            for r in Q.docs_incremental_dedup(spark, sf).collect()}
+    assert got == want
+    assert "exact_dup" in got.values() or "near_dup" in got.values()
