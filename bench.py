@@ -96,7 +96,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "doc_minhash_pairs",
         "doc_simhash_pairs", "doc_simhash_pairs_h3",
         "emb_cosine_topk", "emb_near_dup_pairs", "emb_ivf_topk",
-        "emb_kmeans",
+        "emb_ivfpq_topk", "emb_kmeans",
         "audio_features", "video_motion",
         "image_phash_dedup", "image_phash_near_dup", "image_row_invariants",
         "image_dup_components", "images_clean_pipeline",
