@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_row_invariants": Q.image_row_invariants,
         "emb_ivf_topk": Q.emb_ivf_topk,
         "emb_ivfpq_topk": Q.emb_ivfpq_topk,  # new in r4
+        "tile_image_brightness": Q.tile_image_brightness,  # new in r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,

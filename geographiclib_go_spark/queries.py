@@ -1378,6 +1378,35 @@ def image_row_invariants(spark, sf_dir):
     return im.decode_invariants(imgs).orderBy("image_id")
 
 
+def tile_image_brightness(spark, sf_dir):
+    """The two graft axes in ONE hash-gated query: every image is
+    geodesically tiled (cube-face quadtree, res 6) AND codec-decoded
+    (real PPM / jpeg-sim parse), then aggregated per tile —
+    n_images, exact int64 decoded-pixel sum, and bright100 = the
+    integer mean stored-pixel brightness x100.  Plan shape: generate
+    -> tile kernel -> decode stats is one map-only chain (the decode
+    mapInPandas consumes the tiled frame directly, no join), and the
+    ONLY shuffle is the per-tile hash aggregate — at 10^12 images
+    that is the flagship pipeline's own shape with a decode stage
+    spliced in.  Oracle: the fixture pins the placement->tile chain
+    (images_tiles.parquet, numpy latlon_for_ids -> cell_from_latlon)
+    and the decode (images_invariants.parquet pix_sum); the join +
+    aggregate replay in SQL."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    tiled = tiling.assign_tiles(imgs, 6).select(
+        "tile_id", "bytes", "fmt", "w", "h")
+    stats = im.decode_pixel_stats(tiled)
+    return (stats.groupBy("tile_id")
+            .agg(F.count("*").cast("long").alias("n_images"),
+                 F.sum("pix_sum").cast("long").alias("pix_total"),
+                 F.sum("n_px").cast("long").alias("npx_total"))
+            .withColumn("bright100",
+                        F.expr("CAST((100 * pix_total) DIV npx_total"
+                               " AS BIGINT)"))
+            .orderBy("tile_id"))
+
+
 def image_dup_components(spark, sf_dir):
     """Near-dup CLUSTERS over the image table: the Hamming band join
     emits pairs, connected_components (alternating large/small-star,
@@ -3298,6 +3327,19 @@ ORACLE_SQL["image_row_invariants"] = """
            (sse * 10000 <= 65025 * n_px) AS psnr_ok
     FROM '{fix}/images_invariants.parquet'
     ORDER BY image_id
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["tile_image_brightness"] = """
+    SELECT t.tile_id,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(v.pix_sum) AS BIGINT) AS pix_total,
+           CAST(SUM(v.n_px) AS BIGINT) AS npx_total,
+           CAST((100 * SUM(v.pix_sum)) // SUM(v.n_px) AS BIGINT)
+               AS bright100
+    FROM '{fix}/images_tiles.parquet' t
+    JOIN '{fix}/images_invariants.parquet' v USING (image_id)
+    GROUP BY t.tile_id
+    ORDER BY t.tile_id
 """.format(fix=_FIXTURE_DIR)
 
 ORACLE_SQL["image_phash_near_dup"] = """

@@ -459,6 +459,42 @@ def decode_invariants(images_df: DataFrame) -> DataFrame:
     return images_df.mapInPandas(inv, INVARIANTS_SCHEMA)
 
 
+PIXSTATS_SCHEMA = T.StructType([
+    T.StructField("tile_id", T.LongType(), False),
+    T.StructField("pix_sum", T.LongType(), False),
+    T.StructField("n_px", T.LongType(), False),
+])
+
+
+def decode_pixel_stats(tiled_images: DataFrame) -> DataFrame:
+    """Decode-only pixel statistics per image, keyed by whatever
+    tile_id the caller attached upstream: (tile_id, pix_sum, n_px)
+    with pix_sum the exact int64 sum of the STORED (post-codec)
+    pixels.  Unlike decode_invariants there is no pristine
+    regeneration — this is the lean pass a per-tile image aggregate
+    wants, one mapInPandas stage appended to the same map-only chain
+    as the tile assignment (no join, no shuffle before the caller's
+    own aggregate)."""
+    def st(batches):
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            pix_sum = np.zeros(nb, np.int64)
+            for t in range(nb):
+                decoded = decode_image(pdf.bytes.iloc[t],
+                                       pdf.fmt.iloc[t])
+                pix_sum[t] = decoded.astype(np.int64).sum()
+            yield pd.DataFrame({
+                "tile_id": pdf.tile_id.to_numpy(np.int64),
+                "pix_sum": pix_sum,
+                "n_px": 3 * pdf.w.to_numpy(np.int64)
+                        * pdf.h.to_numpy(np.int64),
+            })
+
+    return tiled_images.mapInPandas(st, PIXSTATS_SCHEMA)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

@@ -186,6 +186,30 @@ def build_images_invariants(n: int = 5000, out_dir: str = None) -> str:
     return path
 
 
+def build_images_tiles(n: int = 5000, res: int = 6,
+                       out_dir: str = None) -> str:
+    """(image_id, tile_id) — pure-numpy replication of the generator's
+    placement chain (phash -> latlon_for_ids incl. hot-disc skew) fed
+    through the SAME cells.cell_from_latlon quadtree encode the Spark
+    tile kernel uses.  Pins the image x tile composition oracle
+    (queries.tile_image_brightness)."""
+    from geographiclib_go_spark.operators import cells
+    from geographiclib_go_spark.sources import images as im
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lat, lon = im.latlon_for_ids(ids, ph)
+    tile = cells.cell_from_latlon(np.asarray(lat, dtype=np.float64),
+                                  np.asarray(lon, dtype=np.float64),
+                                  res).astype(np.int64)
+    tbl = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "tile_id": tile,
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR, "images_tiles.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def simplify_track_points(n: int):
     """The track_simplify layout (queries._track_points) in numpy:
     exact integer numerators / 100.0, bit-identical to Spark SQL."""
@@ -354,6 +378,8 @@ def main():
     print("wrote", p4)
     p5 = build_images_invariants()
     print("wrote", p5)
+    p5t = build_images_tiles()
+    print("wrote", p5t)
     p6 = build_track_simplify(n)
     print("wrote", p6)
     p7 = build_map_match(n)

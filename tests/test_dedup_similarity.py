@@ -457,3 +457,37 @@ def test_ivf_index_is_persisted_and_probed(spark, tmp_path, monkeypatch):
     hist2 = lin.snapshot_history(str(tmp_path), "ivf_index_embeddings")
     assert len(hist2) == 1 and hist2[0]["version"] == hist1[0]["version"]
     assert first == second
+
+
+def test_image_tiles_fixture_matches_spark_kernel(spark, tmp_path):
+    """The committed (image_id, tile_id) fixture must equal BOTH a
+    fresh numpy rebuild (latlon_for_ids -> cell_from_latlon) and the
+    distributed generate -> assign_tiles chain the
+    tile_image_brightness query actually runs."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+    from geographiclib_go_spark.operators import tiling
+    from geographiclib_go_spark.sources import images as im
+
+    n = 1200
+    got = (tiling.assign_tiles(im.generate_images(spark, n), 6)
+           .select("image_id", "tile_id").toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+
+    _spec = importlib.util.spec_from_file_location(
+        "build_fixtures", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "build_fixtures.py"))
+    bf = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(bf)
+    fresh = pq.read_table(
+        bf.build_images_tiles(n, out_dir=str(tmp_path))).to_pandas()
+    com = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "images_tiles.parquet")).to_pandas().head(n)
+    assert np.array_equal(got.tile_id.to_numpy(),
+                          fresh.tile_id.to_numpy())
+    for col in ("image_id", "tile_id"):
+        assert np.array_equal(fresh[col].to_numpy(),
+                              com[col].to_numpy()), col
