@@ -143,9 +143,18 @@ _SEG_SCHEMA = ArrayType(IntegerType())
 
 def match_tracks(df: DataFrame, id_col: str, seq_col: str,
                  lat_col: str, lon_col: str,
-                 route_lat, route_lon, lam: float) -> DataFrame:
+                 route_lat, route_lon, lam: float,
+                 parallelism: int = None) -> DataFrame:
     """Map-match every track in df; returns (id_col, matched_seg
-    array<int> — route segment per ping, in seq order)."""
+    array<int> — route segment per ping, in seq order).
+
+    parallelism: explicit task fan-out for the Viterbi stage.  The
+    grouped track rows are byte-light but compute-heavy, so AQE's
+    size-based coalescing collapses the post-agg exchange to a few
+    partitions and serializes the decode (measured 3/32 cores at
+    sf0.1).  Pass the slot count when tracks-per-slot is small; leave
+    None at cluster scale, where collect_list output bytes grow with
+    the compute and AQE sizes the exchange correctly."""
     r_lat = [float(x) for x in route_lat]
     r_lon = [float(x) for x in route_lon]
 
@@ -171,8 +180,9 @@ def match_tracks(df: DataFrame, id_col: str, seq_col: str,
         F.struct(F.col(seq_col).alias("s"),
                  F.col(lat_col).alias("la"),
                  F.col(lon_col).alias("lo"))))
-    return (df.groupBy(id_col)
-            .agg(pts.alias("_pts"))
-            .select(F.col(id_col),
-                    _mm(F.col("_pts.la"), F.col("_pts.lo"))
-                    .alias("matched_seg")))
+    grouped = df.groupBy(id_col).agg(pts.alias("_pts"))
+    if parallelism:
+        grouped = grouped.repartition(parallelism, F.col(id_col))
+    return grouped.select(F.col(id_col),
+                          _mm(F.col("_pts.la"), F.col("_pts.lo"))
+                          .alias("matched_seg"))

@@ -633,7 +633,9 @@ def track_map_match(spark, sf_dir):
     r_lat = [v / 100.0 for v in _MM_ROUTE_LAT_H]
     r_lon = [v / 100.0 for v in _MM_ROUTE_LON_H]
     got = mmo.match_tracks(pings, "c_custkey", "i", "lat", "lon",
-                           r_lat, r_lon, lam=_MM_LAM)
+                           r_lat, r_lon, lam=_MM_LAM,
+                           parallelism=spark.sparkContext
+                           .defaultParallelism)
     return (got.select(
                 "c_custkey",
                 F.element_at("matched_seg", -1).cast("long")
