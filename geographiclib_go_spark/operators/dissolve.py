@@ -2,13 +2,15 @@
 
 Vector union of many overlapping polygons is a pairwise-geometry
 problem that does not distribute; the engine's scale plan rasterizes:
-each polygon independently emits the grid cells whose CENTER it
-contains (a map-side explode, fan-out = polygon area / cell area),
-the union is a DISTINCT on the cell key — one shuffle, the only one —
-and the area is an exact integer sum of per-cell spherical areas.
-Accuracy is the cell size; at 100 TB you pick the grid the same way
-tile_res is picked elsewhere (finer grid = more fan-out rows, same
-plan).
+each polygon independently emits, per 0.1-deg LAT ROW it covers, the
+interval of cell columns whose CENTER it contains (a map-side
+explode, fan-out = polygon height / cell height), the union is a
+running-max interval merge inside a (group, lat-row) window — one
+shuffle, the only one — and the area is covered-count x exact
+per-row cell area.  Accuracy is the cell size; at 100 TB you pick
+the grid the same way tile_res is picked elsewhere (finer grid =
+more lat rows, same plan), and the cost is independent of each
+polygon's longitudinal extent.
 
 Everything ahead of the final area lookup is integer arithmetic:
 boxes arrive as integer hundredths of a degree, a 0.1-deg cell's
@@ -26,7 +28,7 @@ in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EARTH_R = 6371000.0
@@ -74,25 +76,41 @@ def dissolve_boxes(boxes: DataFrame, group_col: str) -> DataFrame:
     n_boxes, n_cells (distinct 0.1-deg cells whose center is covered),
     area_m2 (exact integer sum).
 
-    Plan: map-side double explode to (group, i, j) -> ONE distinct
-    shuffle on the cell key -> integer area sum.  Nothing all-pairs;
-    overlap resolution IS the distinct."""
+    Plan (r4): explode LAT ROWS only -> (group, i, jmin, jmax)
+    intervals -> classic running-max interval union inside a
+    (group, i) window -> per-lat-row covered count x cell area.
+    Overlap resolution is the window's running max, so the shuffle
+    carries boxes x lat-rows rows instead of every covered cell —
+    the cost no longer depends on the LON extent at all (a
+    360-deg-wide box is one interval per lat row, not 3,600 cells).
+    Per-cell rounding is preserved exactly: every cell in lat row i
+    has the identical rounded area, so count x round == sum of
+    rounds, and the values hash-match the cell-explode oracle."""
     nb = boxes.groupBy(group_col).agg(F.count("*").alias("n_boxes"))
 
     la_min, la_max = _cell_range(F.col("lat_lo_h"), F.col("lat_hi_h"),
                                  _LAT_OFF_H)
     lo_min, lo_max = _cell_range(F.col("lon_lo_h"), F.col("lon_hi_h"),
                                  _LON_OFF_H)
-    cells = (boxes
+    ivals = (boxes
              .select(group_col,
                      F.explode(F.sequence(la_min, la_max)).alias("i"),
                      lo_min.alias("_jmin"), lo_max.alias("_jmax"))
-             .select(group_col, "i",
-                     F.explode(F.sequence(F.col("_jmin"),
-                                          F.col("_jmax"))).alias("j"))
-             .distinct())
-    agg = (cells.withColumn("_a", cell_area_m2(F.col("i")))
+             .filter(F.col("_jmax") >= F.col("_jmin")))
+    w = (Window.partitionBy(group_col, "i")
+         .orderBy("_jmin", "_jmax")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    covered = (ivals
+               .withColumn("_prev", F.max("_jmax").over(w))
+               .withColumn("_lo", F.greatest(
+                   F.col("_jmin"),
+                   F.coalesce(F.col("_prev") + 1, F.col("_jmin"))))
+               .withColumn("_n", F.greatest(
+                   F.col("_jmax") - F.col("_lo") + 1, F.lit(0))))
+    agg = (covered.groupBy(group_col, "i")
+           .agg(F.sum("_n").alias("_ni"))
+           .withColumn("_a", cell_area_m2(F.col("i")))
            .groupBy(group_col)
-           .agg(F.count("*").alias("n_cells"),
-                F.sum("_a").alias("area_m2")))
+           .agg(F.sum("_ni").alias("n_cells"),
+                F.sum(F.col("_ni") * F.col("_a")).alias("area_m2")))
     return nb.join(agg, group_col, "left")

@@ -102,3 +102,46 @@ def test_dissolve_boxes_matches_numpy_union(spark):
     a = (R * R * np.radians(0.1)
          * (np.sin(np.radians((i + 1) / 10)) - np.sin(np.radians(i / 10))))
     assert np.abs((a % 1.0) - 0.5).min() > 3e-4
+
+
+def test_dissolve_interval_union_edges(spark):
+    """Adversarial layouts for the r4 interval-union plan: duplicate
+    boxes, fully nested intervals, exactly-touching intervals (gap of
+    zero), disjoint islands, and a mix sharing single lat rows —
+    each checked against a brute-force cell set."""
+    import numpy as np
+    import pandas as pd
+    from geographiclib_go_spark.operators import dissolve as dv
+
+    rows = [
+        # grp 0: identical duplicates + nested inside a wide box
+        (0, 0, 100, 0, 1000), (0, 0, 100, 0, 1000),
+        (0, 0, 100, 200, 400),
+        # grp 1: touching end-to-start (union is one run), then a gap
+        (1, 0, 100, 0, 300), (1, 0, 100, 300, 600),
+        (1, 0, 100, 900, 1000),
+        # grp 2: same lat rows, staircase overlaps
+        (2, 0, 200, 0, 250), (2, 100, 300, 150, 400),
+        (2, 0, 300, 380, 500),
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "lat_lo_h", "lat_hi_h",
+                                      "lon_lo_h", "lon_hi_h"])
+    got = {r["grp"]: r for r in
+           dv.dissolve_boxes(spark.createDataFrame(pdf), "grp")
+           .collect()}
+    R = dv.EARTH_R
+    for g, sub in pdf.groupby("grp"):
+        cells = set()
+        for _, b in sub.iterrows():
+            for i in range(-(-(b.lat_lo_h - 5) // 10),
+                           -(-(b.lat_hi_h - 5) // 10)):
+                for j in range(-(-(b.lon_lo_h - 5) // 10),
+                               -(-(b.lon_hi_h - 5) // 10)):
+                    cells.add((i, j))
+        area = sum(int(np.round(
+            R * R * np.radians(0.1)
+            * (np.sin(np.radians((i + 1) / 10))
+               - np.sin(np.radians(i / 10))))) for i, j in cells)
+        assert got[g]["n_cells"] == len(cells), g
+        assert got[g]["n_boxes"] == len(sub), g
+        assert got[g]["area_m2"] == area, g
