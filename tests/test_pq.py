@@ -116,3 +116,76 @@ def test_recall_vs_exact_bruteforce(vecs, arts):
     # recall has a hard floor of 1/K; require clearly above it.
     assert r_ivf >= 0.3, r_ivf
     assert r_flat >= 0.3, r_flat
+
+
+def test_streaming_pq_gate_matches_numpy(spark, vecs, arts, tmp_path):
+    """streaming_pq_near_dup_events over a 2-micro-batch arrival file
+    stream, probing the encoded index read back from parquet, must
+    emit exactly the (qid, vec_id, adc) set an independent numpy
+    ADC replay produces for the same threshold and probe cells."""
+    from pyspark.sql import functions as F
+    from geographiclib_go_spark.streaming import polygon_stream as ps
+
+    books, seeds, enc = arts
+    enc.write.mode("overwrite").parquet(str(tmp_path / "encidx"))
+    encoded = spark.read.parquet(str(tmp_path / "encidx"))
+
+    arriving = [5, 23, 77, 131]
+    pdf = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .filter(F.col("vec_id").isin(arriving))
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding"))
+           .orderBy("vec_id").toPandas())
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(pdf.iloc[:2]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[2:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    # independent numpy replay of every probed candidate's ADC
+    ids, X = _np_corpus(vecs)
+    idx = {v: i for i, v in enumerate(ids)}
+    sub = DIM // M
+    S = np.array(seeds, dtype=np.int64)
+    cell_of = ((X[:, None, :] - S[None, :, :]) ** 2).sum(axis=2) \
+        .argmin(axis=1)
+    code = {}
+    for j in range(M):
+        B = np.array(books[j], dtype=np.int64)
+        d = ((X[:, None, j * sub:(j + 1) * sub] - B[None, :, :]) ** 2) \
+            .sum(axis=2)
+        code[j] = d.argmin(axis=1)
+    cand = []
+    for qid in arriving:
+        qv = X[idx[qid]]
+        dc = ((qv[None, :] - S) ** 2).sum(axis=1)
+        probe = set(np.argsort(dc, kind="stable")[:NPROBE].tolist())
+        for i, vid in enumerate(ids):
+            if int(cell_of[i]) not in probe:
+                continue
+            adc = 0
+            for j in range(M):
+                cv = np.array(books[j][code[j][i]], dtype=np.int64)
+                adc += int(((qv[j * sub:(j + 1) * sub] - cv) ** 2).sum())
+            cand.append((qid, int(vid), adc))
+    # threshold at the candidate median: a nontrivial subset passes
+    max_adc = int(np.median([a for _, _, a in cand]))
+    want = {c for c in cand if c[2] <= max_adc}
+    assert 0 < len(want) < len(cand)
+
+    out = ps.streaming_pq_near_dup_events(
+        stream, encoded, books, seeds, DIM, max_adc=max_adc,
+        nprobe=NPROBE)
+    q = (out.writeStream.format("memory").queryName("pq_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.qid, r.vec_id, r.adc) for r in
+               spark.sql("SELECT * FROM pq_events").collect()}
+    finally:
+        q.stop()
+    assert got == want
