@@ -162,12 +162,18 @@ _KEPT_SCHEMA = ArrayType(IntegerType())
 
 def simplify_tracks(df: DataFrame, id_col: str, seq_col: str,
                     lat_col: str, lon_col: str, eps_m: float,
-                    radius_m: float = 6371000.0) -> DataFrame:
+                    radius_m: float = 6371000.0,
+                    parallelism: int = None) -> DataFrame:
     """Simplify every track in df (rows = points) with geodesic
     Douglas-Peucker; returns one row per track:
     (id_col, kept_seq array<int> — the seq values of surviving
     points, ascending).  One shuffle (the groupBy), then a single
-    Arrow stage running dp_batch over the whole batch of tracks."""
+    Arrow stage running dp_batch over the whole batch of tracks.
+
+    parallelism: explicit fan-out for the DP stage — same rationale
+    as mapmatch.match_tracks: the grouped rows are byte-light but
+    compute-heavy, so AQE's size-based coalescing under-parallelizes
+    the Arrow stage at small scale.  Leave None at cluster scale."""
     @F.pandas_udf(_KEPT_SCHEMA)
     def _dp(lats: pd.Series, lons: pd.Series) -> pd.Series:
         n = len(lats)
@@ -190,10 +196,11 @@ def simplify_tracks(df: DataFrame, id_col: str, seq_col: str,
         F.struct(F.col(seq_col).alias("s"),
                  F.col(lat_col).alias("la"),
                  F.col(lon_col).alias("lo"))))
-    g = (df.groupBy(id_col)
-         .agg(pts.alias("_pts"))
-         .withColumn("_kept_pos",
-                     _dp(F.col("_pts.la"), F.col("_pts.lo"))))
+    g = df.groupBy(id_col).agg(pts.alias("_pts"))
+    if parallelism:
+        g = g.repartition(parallelism, F.col(id_col))
+    g = g.withColumn("_kept_pos",
+                     _dp(F.col("_pts.la"), F.col("_pts.lo")))
     # kept positions -> original seq values, JVM-side
     kept = F.transform("_kept_pos",
                        lambda p: F.col("_pts.s")[p])

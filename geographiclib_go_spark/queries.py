@@ -574,7 +574,9 @@ def track_simplify(spark, sf_dir):
     from geographiclib_go_spark.operators import simplify as sy
     pts = _track_points(spark, sf_dir)
     simp = sy.simplify_tracks(pts, "c_custkey", "i", "lat", "lon",
-                              eps_m=_SIMPLIFY_EPS_M)
+                              eps_m=_SIMPLIFY_EPS_M,
+                              parallelism=spark.sparkContext
+                              .defaultParallelism)
     mask = F.aggregate(
         "kept_seq", F.lit(0).cast("long"),
         lambda acc, s: acc + F.pow(F.lit(2.0), s).cast("long"))
