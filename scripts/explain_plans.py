@@ -138,7 +138,9 @@ def main():
 
     sections.append((
         "track_simplify (geodesic Douglas-Peucker)",
-        "One data Exchange only (the per-track groupBy); the batch DP "
+        "The per-track groupBy Exchange plus the r4 explicit fan-out "
+        "repartition (AQE's byte-based coalescing under-parallelizes "
+        "the compute-heavy DP stage at small scale); the batch DP "
         "kernel is a single ArrowEvalPython over collected tracks; the "
         "final Exchange is the query's own ORDER BY.  Position -> seq "
         "mapping stays JVM-side (transform over the collected struct).",
@@ -146,18 +148,22 @@ def main():
 
     sections.append((
         "track_map_match (HMM Viterbi onto route segments)",
-        "Same trajectory shape: one groupBy Exchange, one "
+        "Same trajectory shape: groupBy Exchange + explicit "
+        "Viterbi-stage fan-out (measured 3/32 cores under AQE "
+        "coalescing before r4, 7.8 s -> 3.2 s after), one "
         "ArrowEvalPython running the [T,S,S] Viterbi over every track "
         "in the batch; the 10-segment route lives in the UDF closure — "
         "no join for the dim side.",
         formatted(Q.track_map_match(spark, sf))))
 
     sections.append((
-        "region_dissolve (cell-rasterized union-area)",
-        "Map-side double explode (sequence -> cells), then the ONE "
-        "distinct shuffle that IS the union, then the integer area "
-        "aggregation.  No Python anywhere — the whole raster is JVM "
-        "expressions inside WholeStageCodegen.",
+        "region_dissolve (lat-row interval union)",
+        "r4 plan: map-side explode to LAT ROWS only (intervals, not "
+        "cells), ONE window Exchange on (group, lat row) whose "
+        "running max IS the union, then the integer area aggregation "
+        "— cost independent of each box's lon extent (6.9 s -> 1.5 s "
+        "at sf0.1).  No Python anywhere; all BIGINT inside "
+        "WholeStageCodegen.",
         formatted(Q.region_dissolve(spark, sf))))
 
     sections.append((
