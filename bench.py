@@ -99,7 +99,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "emb_ivfpq_topk", "emb_kmeans",
         "audio_features", "video_motion",
         "image_phash_dedup", "image_phash_near_dup", "image_row_invariants",
-        "tile_image_brightness",
+        "tile_image_brightness", "image_zonal_stats",
         "image_dup_components", "images_clean_pipeline",
         "doc_dup_clusters", "doc_train_val_split",
         "doc_stratified_sample", "pts_geohash_rollup", "pts_dbscan",

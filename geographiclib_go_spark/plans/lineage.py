@@ -143,16 +143,7 @@ def run_stage(spark: SparkSession, root: str, stage: str,
     if stage_is_complete(root, stage, input_fingerprint):
         return read_stage(spark, root, stage)
 
-    cur = current_snapshot(root, stage)
-    version = (cur["version"] + 1) if cur else 1
-    # allocate past EVERY existing snapshot directory, committed or
-    # orphaned (a crashed writer leaves a dir without commit.json;
-    # reusing its number would dirty-write into it)
-    snaps_dir = os.path.join(_stage_base(root, stage), "snapshots")
-    if os.path.isdir(snaps_dir):
-        for name in os.listdir(snaps_dir):
-            if name.startswith("v") and name[1:].isdigit():
-                version = max(version, int(name[1:]) + 1)
+    version = _next_version(root, stage)
     snap = _snap_dir(root, stage, version)
 
     t0 = time.time()
@@ -185,6 +176,125 @@ def run_stage(spark: SparkSession, root: str, stage: str,
         json.dump(meta, fh)
     os.replace(tmp, ptr)  # atomic commit: pointer swap
     return out
+
+
+def _next_version(root: str, stage: str) -> int:
+    """Next snapshot number past EVERY existing directory, committed
+    or orphaned (a crashed writer leaves a dir without commit.json;
+    reusing its number would dirty-write into it)."""
+    cur = current_snapshot(root, stage)
+    version = (cur["version"] + 1) if cur else 1
+    snaps_dir = os.path.join(_stage_base(root, stage), "snapshots")
+    if os.path.isdir(snaps_dir):
+        for name in os.listdir(snaps_dir):
+            if name.startswith("v") and name[1:].isdigit():
+                version = max(version, int(name[1:]) + 1)
+    return version
+
+
+def _data_files(path: str) -> list:
+    out = []
+    for dirpath, _, names in os.walk(path):
+        out.extend(os.path.join(dirpath, n) for n in names
+                   if n.endswith(".parquet"))
+    return out
+
+
+def _global_checksum(df: DataFrame):
+    """Order-insensitive xor-of-row-hashes over name-sorted columns —
+    invariant under repartitioning AND under the column reordering a
+    hive-partitioned read introduces."""
+    cols = sorted(df.columns)
+    return (df.select(F.xxhash64(*[F.col(c) for c in cols])
+                      .alias("_h"))
+            .agg(F.expr("bit_xor(_h)")).collect()[0][0])
+
+
+def compact_stage(spark: SparkSession, root: str, stage: str,
+                  target_files: int = None,
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  partition_by: list = None) -> dict:
+    """Bin-pack the CURRENT snapshot's files into fewer, larger ones
+    as a NEW snapshot version — the small-file maintenance every
+    long-lived 100-TB table needs (streaming sinks and fine-grained
+    resume fan-out leave many tiny parquet files, and scan cost
+    becomes file-open overhead once files fall far below the ~128 MB
+    ``maxPartitionBytes`` split target).  Mirrors Iceberg's
+    rewrite_data_files(binpack) contract with plain snapshots.
+
+    The target file count defaults to total-bytes / target_file_bytes;
+    reducing uses ``coalesce`` (no exchange — partitions concatenate),
+    with ``repartition`` only when a clustering ``partition_by`` is
+    requested.  Data-preserving by VERIFICATION, not trust: row count
+    and the order-insensitive global xor-of-row-hashes checksum must
+    match the source snapshot before the pointer swaps; on mismatch
+    the new snapshot stays uncommitted (expire_snapshots sweeps it)
+    and RuntimeError raises.  The input_fingerprint carries over, so
+    ``stage_is_complete`` / ``run_stage`` resume semantics are
+    unchanged, and the old version stays readable (time travel) until
+    expiry."""
+    cur = current_snapshot(root, stage)
+    if cur is None:
+        raise FileNotFoundError(f"stage {stage!r} has no committed "
+                                f"snapshot under {root}")
+    old_dir = os.path.join(_snap_dir(root, stage, cur["version"]),
+                           "data")
+    old_files = _data_files(old_dir)
+    df = spark.read.parquet(old_dir)
+    if target_files is None:
+        total = sum(os.path.getsize(f) for f in old_files)
+        target_files = max(1, -(-total // target_file_bytes))
+    old_count, old_sum = cur["rows"], _global_checksum(df)
+
+    version = _next_version(root, stage)
+    snap = _snap_dir(root, stage, version)
+    t0 = time.time()
+    if partition_by:
+        packed = df.repartition(target_files, *partition_by)
+    elif target_files < df.rdd.getNumPartitions():
+        packed = df.coalesce(target_files)
+    else:
+        packed = df.repartition(target_files)
+    writer = packed.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(snap, "data"))
+
+    out = spark.read.parquet(os.path.join(snap, "data"))
+    rows = out.count()
+    # hive partition-column type inference can read a partition key
+    # back in a NARROWER container (bigint -> int); align to the
+    # source schema so the checksum compares VALUES, not widths
+    aligned = out.select([F.col(f.name).cast(f.dataType)
+                          for f in df.schema])
+    new_sum = _global_checksum(aligned)
+    if rows != old_count or new_sum != old_sum:
+        raise RuntimeError(
+            f"compaction of {stage!r} v{cur['version']} changed data "
+            f"(rows {old_count}->{rows}, checksum {old_sum}->{new_sum})"
+            f"; snapshot v{version} left uncommitted")
+    lin = partition_lineage(out)
+    lin.write.mode("overwrite").parquet(os.path.join(snap, "_lineage"))
+    meta = {
+        "stage": stage,
+        "version": version,
+        "rows": rows,
+        "wall_s": round(time.time() - t0, 3),
+        "input_fingerprint": cur.get("input_fingerprint", ""),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_partitions": out.rdd.getNumPartitions(),
+        "compacted_from": cur["version"],
+        "files_before": len(old_files),
+        "files_after": len(_data_files(os.path.join(snap, "data"))),
+    }
+    with open(os.path.join(snap, "commit.json"), "w") as fh:
+        json.dump(meta, fh)
+    ptr = _pointer_path(root, stage)
+    tmp = ptr + f".tmp.v{version}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, ptr)  # atomic commit: pointer swap
+    return meta
 
 
 def rollback_stage(root: str, stage: str, version: int) -> dict:

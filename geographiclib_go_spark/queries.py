@@ -1411,6 +1411,39 @@ def tile_image_brightness(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def image_zonal_stats(spark, sf_dir):
+    """Zonal statistics — the classic raster<->vector aggregate — over
+    the image table: every image's placement is tested against the
+    IMAGE_ZONES analysis polygons (ray-casting PIP behind a broadcast
+    cell-cover equi-join, operators/spatial_join.pip_join), the hits
+    are codec-decoded, and per-zone n_images / exact int64 pixel sum /
+    integer mean brightness x100 come out of ONE hash aggregate.
+    Multi-membership (zones 2 and 4 overlap) counts the image in each
+    containing zone.  Plan shape: generate -> cell encode -> broadcast
+    cover join -> PIP refine filter -> decode stats is a single
+    map-only chain (the only shuffle is the 4-group aggregate), so at
+    10^12 images the cost is one scan — the cover join prunes decode
+    work to in-zone rows BEFORE any byte moves.  Oracle: the
+    membership fixture (images_zones.parquet) is gated by TWO
+    independent even-odd algorithms (northward- vs southward-ray,
+    scripts/build_fixtures.py) and DuckDB replays the join +
+    aggregate against the pinned decode invariants."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    hits = sj.pip_join(imgs, im.IMAGE_ZONES, res=4)
+    stats = im.decode_pixel_stats(
+        hits.select(F.col("poly_id").cast("long").alias("tile_id"),
+                    "bytes", "fmt", "w", "h"))
+    return (stats.groupBy(F.col("tile_id").alias("zone_id"))
+            .agg(F.count("*").cast("long").alias("n_images"),
+                 F.sum("pix_sum").cast("long").alias("pix_total"),
+                 F.sum("n_px").cast("long").alias("npx_total"))
+            .withColumn("bright100",
+                        F.expr("CAST((100 * pix_total) DIV npx_total"
+                               " AS BIGINT)"))
+            .orderBy("zone_id"))
+
+
 def image_dup_components(spark, sf_dir):
     """Near-dup CLUSTERS over the image table: the Hamming band join
     emits pairs, connected_components (alternating large/small-star,
@@ -3344,6 +3377,19 @@ ORACLE_SQL["tile_image_brightness"] = """
     JOIN '{fix}/images_invariants.parquet' v USING (image_id)
     GROUP BY t.tile_id
     ORDER BY t.tile_id
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_zonal_stats"] = """
+    SELECT z.zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(v.pix_sum) AS BIGINT) AS pix_total,
+           CAST(SUM(v.n_px) AS BIGINT) AS npx_total,
+           CAST((100 * SUM(v.pix_sum)) // SUM(v.n_px) AS BIGINT)
+               AS bright100
+    FROM '{fix}/images_zones.parquet' z
+    JOIN '{fix}/images_invariants.parquet' v USING (image_id)
+    GROUP BY z.zone_id
+    ORDER BY z.zone_id
 """.format(fix=_FIXTURE_DIR)
 
 ORACLE_SQL["image_phash_near_dup"] = """

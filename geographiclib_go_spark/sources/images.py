@@ -44,6 +44,26 @@ _NOUNS = ("harbor", "ridge", "forest", "plateau", "lagoon", "glacier",
 HOT_CENTERS = ((40.7, -74.0), (51.5, -0.1), (35.7, 139.7))
 HOT_RADIUS_DEG = 0.5
 
+# Analysis zones for zonal statistics over the image table:
+# zone_id -> (lats, lons) closed-ring vertex sequences (implicit
+# closure, same convention as operators/pip.points_in_ring).  Zone 1
+# contains the NYC hot disc (skewed membership), zone 2 straddles the
+# dateline, zone 3 is an irregular pentagon around the London hot
+# disc, zone 4 is a large southern-hemisphere triangle overlapping
+# zone 2's latitude band (multi-membership is allowed and counted per
+# zone).  Vertices sit on x.xx5 grid offsets so generated points never
+# land exactly on an edge (boundary side is unspecified).
+IMAGE_ZONES = {
+    1: ((39.705, 39.705, 41.705, 41.705),
+        (-75.505, -72.505, -72.505, -75.505)),
+    2: ((-20.005, -20.005, 20.005, 20.005),
+        (165.005, -165.005, -165.005, 165.005)),
+    3: ((49.505, 50.205, 53.505, 52.805, 50.005),
+        (-2.505, 2.405, 1.505, -3.205, -4.005)),
+    4: ((-5.005, -45.005, -35.005),
+        (100.005, 140.005, 60.005)),
+}
+
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Public-domain splitmix64 mix function, vectorized on uint64."""

@@ -261,6 +261,76 @@ def _dp_recursive_instrumented(u, thr):
     return keep, min_split, min_gap, ties
 
 
+def _points_in_ring_southray(lat, lon, ring_lats, ring_lons):
+    """Even-odd containment via the point's SOUTHWARD meridian ray —
+    the opposite ray direction from operators/pip.points_in_ring
+    (northward).  The two count DISJOINT crossing sets whose total is
+    the ring's full even-odd parity, so for every off-boundary point
+    they must agree; the fixture builder asserts that agreement on
+    all generated placements before committing the fixture."""
+    from geographiclib_go_spark.kernels import geomath as gm
+    from geographiclib_go_spark.operators import pip
+
+    lat = gm.arr(lat)
+    lon = gm.arr(lon)
+    rla = gm.arr(ring_lats)
+    rlo = gm.arr(ring_lons)
+    if rla.size < 3:
+        return np.zeros(lat.shape, dtype=bool)
+
+    dlon, _ = gm.ang_diff(lon[:, None], rlo[None, :])
+    la = np.broadcast_to(rla[None, :], dlon.shape)
+    d1, d2 = dlon, np.roll(dlon, -1, axis=1)
+    la1, la2 = la, np.roll(la, -1, axis=1)
+    straddle = ((d1 <= 0) != (d2 <= 0)) & \
+        (np.abs(d1) + np.abs(d2) < 180.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.where(straddle, (0.0 - d1) / (d2 - d1), 0.0)
+        lat_x = la1 + (la2 - la1) * t
+    south_cross = straddle & (lat_x < lat[:, None])
+    crossings = south_cross.sum(axis=1)
+    _, s_inside = pip.pole_inside(rla, rlo)
+    return (crossings % 2 == 1) ^ bool(s_inside)
+
+
+def build_images_zones(n: int = 5000, out_dir: str = None) -> str:
+    """(image_id, zone_id) memberships of every generated image in the
+    IMAGE_ZONES analysis polygons (multi-membership emits one row per
+    containing zone).  Decision path: pure-numpy placement replication
+    (phash -> latlon_for_ids) fed through the SOUTHWARD-ray even-odd
+    test above, cross-checked against the northward-ray
+    pip.points_in_ring the Spark pip_join refine uses — a genuine
+    two-algorithm parity gate, then DuckDB replays the join+aggregate.
+    Pins queries.image_zonal_stats."""
+    from geographiclib_go_spark.operators import pip
+    from geographiclib_go_spark.sources import images as im
+
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lat, lon = im.latlon_for_ids(ids, ph)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    out_ids, out_zone = [], []
+    for zid in sorted(im.IMAGE_ZONES):
+        rla, rlo = im.IMAGE_ZONES[zid]
+        south = _points_in_ring_southray(lat, lon, rla, rlo)
+        north = pip.points_in_ring(lat, lon, rla, rlo)
+        if not np.array_equal(south, north):
+            raise AssertionError(
+                f"zone {zid}: N-ray and S-ray containment disagree "
+                f"on {int((south != north).sum())} points")
+        hits = np.nonzero(south)[0]
+        out_ids.extend(f"img_{int(ids[i]):012d}" for i in hits)
+        out_zone.extend([zid] * hits.size)
+    tbl = pa.table({
+        "image_id": out_ids,
+        "zone_id": np.asarray(out_zone, dtype=np.int64),
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR, "images_zones.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def build_track_simplify(n: int, out_dir: str = None) -> str:
     """DP oracle via the textbook recursive implementation.
 
@@ -380,6 +450,8 @@ def main():
     print("wrote", p5)
     p5t = build_images_tiles()
     print("wrote", p5t)
+    p5z = build_images_zones()
+    print("wrote", p5z)
     p6 = build_track_simplify(n)
     print("wrote", p6)
     p7 = build_map_match(n)

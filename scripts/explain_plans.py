@@ -287,6 +287,18 @@ def main():
         formatted(Q.emb_ivfpq_topk(spark, sf))))
 
     sections.append((
+        "image_zonal_stats (vector zones x decoded raster)",
+        "Generate -> cell encode -> BroadcastHashJoin against the "
+        "tiny zone cell cover -> ray-cast PIP refine (ArrowEvalPython "
+        "filter) -> decode-only MapInPandas is ONE map-only chain: "
+        "the only Exchange in the whole plan is the final 4-group "
+        "partial+final HashAggregate pair.  The cover join prunes "
+        "decode work to in-zone rows BEFORE any pixel bytes move — "
+        "at 10^12 images the cost is one scan of the placements plus "
+        "decode of only the zone hits.",
+        formatted(Q.image_zonal_stats(spark, sf))))
+
+    sections.append((
         "track_lat_envelope (Clairaut per-leg latitude bounds)",
         "One Window exchange on user_id builds the legs; everything "
         "after — kernel azimuths (ArrowEvalPython, AZIMUTH caps only) "

@@ -491,3 +491,44 @@ def test_image_tiles_fixture_matches_spark_kernel(spark, tmp_path):
     for col in ("image_id", "tile_id"):
         assert np.array_equal(fresh[col].to_numpy(),
                               com[col].to_numpy()), col
+
+
+def test_image_zones_fixture_matches_spark_pip(spark, tmp_path):
+    """The committed (image_id, zone_id) memberships must equal BOTH a
+    fresh numpy rebuild (southward-ray even-odd, which itself asserts
+    agreement with the northward-ray pip kernel at build time) and the
+    distributed generate -> pip_join chain the image_zonal_stats query
+    actually runs."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+    from geographiclib_go_spark.operators import spatial_join as sj
+    from geographiclib_go_spark.sources import images as im
+
+    n = 1200
+    got = (sj.pip_join(im.generate_images(spark, n), im.IMAGE_ZONES,
+                       res=4)
+           .select("image_id", F.col("poly_id").cast("long")
+                   .alias("zone_id"))
+           .toPandas().sort_values(["zone_id", "image_id"])
+           .reset_index(drop=True))
+
+    _spec = importlib.util.spec_from_file_location(
+        "build_fixtures", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "build_fixtures.py"))
+    bf = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(bf)
+    fresh = pq.read_table(bf.build_images_zones(
+        n, out_dir=str(tmp_path))).to_pandas() \
+        .sort_values(["zone_id", "image_id"]).reset_index(drop=True)
+    com = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "images_zones.parquet")).to_pandas()
+    com = com[com.image_id < f"img_{n:012d}"] \
+        .sort_values(["zone_id", "image_id"]).reset_index(drop=True)
+
+    assert len(got) == len(fresh) == len(com) > 0
+    for col in ("image_id", "zone_id"):
+        assert np.array_equal(got[col].to_numpy(), fresh[col].to_numpy())
+        assert np.array_equal(fresh[col].to_numpy(), com[col].to_numpy())

@@ -124,6 +124,100 @@ def test_lineage_time_travel_rollback_expire(spark):
         assert lineage.read_stage(spark, root, "s").count() == 400
 
 
+def test_compact_stage_binpacks_without_changing_data(spark):
+    """Small-file compaction: a fan-out-written stage (many tiny
+    files) rewrites into few larger files as a NEW verified snapshot;
+    content hash + row count match, resume fingerprint carries over,
+    the old version stays time-travelable, and a tampered rewrite is
+    refused before the pointer swap."""
+    with tempfile.TemporaryDirectory() as root:
+        df0 = lineage.run_stage(
+            spark, root, "s",
+            lambda: spark.range(0, 10_000, 1, 64).withColumn(
+                "k", F.col("id") % 7).withColumn(
+                "v", F.xxhash64("id")),
+            input_fingerprint="fp1")
+        before = lineage.current_snapshot(root, "s")
+
+        meta = lineage.compact_stage(spark, root, "s", target_files=4)
+        assert meta["version"] == before["version"] + 1
+        assert meta["compacted_from"] == before["version"]
+        assert meta["files_before"] >= 64
+        assert meta["files_after"] <= 4
+        assert meta["rows"] == 10_000
+
+        # readers: same data, fewer files; resume unchanged
+        after = lineage.read_stage(spark, root, "s")
+        assert after.count() == 10_000
+        assert lineage._global_checksum(after) == \
+            lineage._global_checksum(df0)
+        assert lineage.stage_is_complete(root, "s", "fp1")
+        # run_stage resume still short-circuits onto the compacted
+        # snapshot (no recompute)
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(1)
+
+        lineage.run_stage(spark, root, "s", build,
+                          input_fingerprint="fp1")
+        assert calls["n"] == 0
+        # old version still time-travelable until expiry
+        assert lineage.read_stage(spark, root, "s",
+                                  version=before["version"]) \
+            .count() == 10_000
+        assert lineage.verify_stage(spark, root, "s")
+
+        # clustering compaction preserves hive layout + data
+        meta2 = lineage.compact_stage(spark, root, "s",
+                                      target_files=2,
+                                      partition_by=["k"])
+        data_dir = os.path.join(root, "s", "snapshots",
+                                f"v{meta2['version']:05d}", "data")
+        assert any(d.startswith("k=") for d in os.listdir(data_dir))
+        # hive layout reads the partition key back as int; align to
+        # the source schema (values, not container widths, compare)
+        got = lineage.read_stage(spark, root, "s").select(
+            [F.col(f.name).cast(f.dataType) for f in df0.schema])
+        assert lineage._global_checksum(got) == \
+            lineage._global_checksum(df0)
+
+
+def test_compact_stage_refuses_corrupt_rewrite(spark, monkeypatch):
+    """If the rewrite does not reproduce the source checksum exactly,
+    the pointer must NOT swap and the bad snapshot stays uncommitted
+    (expire_snapshots sweeps it as an orphan)."""
+    with tempfile.TemporaryDirectory() as root:
+        lineage.run_stage(spark, root, "s",
+                          lambda: spark.range(0, 1000, 1, 16),
+                          input_fingerprint="fp1")
+        real = lineage._global_checksum
+        state = {"first": True}
+
+        def skewed(df):
+            # first call measures the SOURCE; corrupt only the
+            # post-rewrite measurement
+            if state["first"]:
+                state["first"] = False
+                return real(df)
+            return real(df) ^ 1
+
+        monkeypatch.setattr(lineage, "_global_checksum", skewed)
+        with pytest.raises(RuntimeError, match="changed data"):
+            lineage.compact_stage(spark, root, "s", target_files=2)
+        monkeypatch.setattr(lineage, "_global_checksum", real)
+        cur = lineage.current_snapshot(root, "s")
+        assert cur["version"] == 1          # pointer never moved
+        assert lineage.read_stage(spark, root, "s").count() == 1000
+        # the abandoned rewrite is uncommitted (absent from history)
+        # and version allocation never reuses its number
+        assert [m["version"]
+                for m in lineage.snapshot_history(root, "s")] == [1]
+        meta = lineage.compact_stage(spark, root, "s", target_files=2)
+        assert meta["version"] == 3
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """The union+window as-of join must reproduce pandas merge_asof
     (backward, by key) including equal-timestamp matches and
