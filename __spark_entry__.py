@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r3); the r3 greens fill the rest.  With this rotation every
     # registered query has an official green row within rounds 3+4.
     return {
-        # --- never driver-checked + new in r4 — 16 ---
+        # --- never driver-checked + new in r4 — 17 ---
         "route_crossings": Q.route_crossings,
         "ellip_route_crossings": Q.ellip_route_crossings,
         "docs_incremental_dedup": Q.docs_incremental_dedup,
@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_topk": Q.emb_ivfpq_topk,  # new in r4
         "tile_image_brightness": Q.tile_image_brightness,  # new in r4
         "image_zonal_stats": Q.image_zonal_stats,  # new in r4
+        "zone_caption_stats": Q.zone_caption_stats,  # new in r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,

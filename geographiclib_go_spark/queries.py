@@ -1444,6 +1444,33 @@ def image_zonal_stats(spark, sf_dir):
             .orderBy("zone_id"))
 
 
+def zone_caption_stats(spark, sf_dir):
+    """Caption text analytics scoped by spatial containment: the same
+    PIP-pruned chain as image_zonal_stats, but aggregating the CAPTION
+    column of in-zone images — exact char totals, whitespace token
+    totals (operators/text.token_count, pure JVM codegen), and
+    distinct-caption counts per zone.  Exercises text ops x spatial
+    join x the north-rule caption-equality invariant in one gate (the
+    oracle's caption column comes from the pinned per-row invariant
+    fixture, so any caption drift in the distributed generator breaks
+    the hash).  Plan shape: map-only until the 4-group aggregate; the
+    countDistinct adds the standard two-phase expand — fine at scale
+    because zone membership, not the corpus, bounds the input."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    hits = sj.pip_join(imgs, im.IMAGE_ZONES, res=4)
+    return (hits.groupBy(F.col("poly_id").cast("long")
+                         .alias("zone_id"))
+            .agg(F.count("*").cast("long").alias("n_captions"),
+                 F.sum(F.length("caption")).cast("long")
+                 .alias("chars_total"),
+                 F.sum(tx.token_count(F.col("caption"))).cast("long")
+                 .alias("tokens_total"),
+                 F.countDistinct("caption").cast("long")
+                 .alias("n_distinct"))
+            .orderBy("zone_id"))
+
+
 def image_dup_components(spark, sf_dir):
     """Near-dup CLUSTERS over the image table: the Hamming band join
     emits pairs, connected_components (alternating large/small-star,
@@ -3386,6 +3413,19 @@ ORACLE_SQL["image_zonal_stats"] = """
            CAST(SUM(v.n_px) AS BIGINT) AS npx_total,
            CAST((100 * SUM(v.pix_sum)) // SUM(v.n_px) AS BIGINT)
                AS bright100
+    FROM '{fix}/images_zones.parquet' z
+    JOIN '{fix}/images_invariants.parquet' v USING (image_id)
+    GROUP BY z.zone_id
+    ORDER BY z.zone_id
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["zone_caption_stats"] = """
+    SELECT z.zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_captions,
+           CAST(SUM(LENGTH(v.caption)) AS BIGINT) AS chars_total,
+           CAST(SUM(LEN(string_split(TRIM(v.caption), ' ')))
+                AS BIGINT) AS tokens_total,
+           CAST(COUNT(DISTINCT v.caption) AS BIGINT) AS n_distinct
     FROM '{fix}/images_zones.parquet' z
     JOIN '{fix}/images_invariants.parquet' v USING (image_id)
     GROUP BY z.zone_id
