@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r3); the r3 greens fill the rest.  With this rotation every
     # registered query has an official green row within rounds 3+4.
     return {
-        # --- never driver-checked + new in r4 — 17 ---
+        # --- never driver-checked + new in r4 — 20 ---
         "route_crossings": Q.route_crossings,
         "ellip_route_crossings": Q.ellip_route_crossings,
         "docs_incremental_dedup": Q.docs_incremental_dedup,
@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_image_brightness": Q.tile_image_brightness,  # new in r4
         "image_zonal_stats": Q.image_zonal_stats,  # new in r4
         "zone_caption_stats": Q.zone_caption_stats,  # new in r4
+        "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,  # new in r4
+        "image_resize_stats": Q.image_resize_stats,  # new in r4
+        "video_frame_sample": Q.video_frame_sample,  # new in r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,

@@ -303,3 +303,134 @@ def minhash_cross_pairs(docs: DataFrame, side_col: str,
         .select("doc_id", "band", "band_key"),
         left_docs, right_docs, threshold=threshold,
         text_col=text_col, id_col="doc_id", shingle=shingle)
+
+
+def shingle_set_arrays(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       shingle: int = 5) -> DataFrame:
+    """(doc_id, sset): each document's DISTINCT 62-bit character-
+    shingle hashes as a SORTED array — the exact set representation
+    the MinHash/Jaccard family sketches (same sketch_hash kernels,
+    one vectorized pass per Arrow batch).  Documents shorter than the
+    shingle width carry the {0} sentinel, matching minhash_sigs."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sh(text: pd.Series) -> pd.Series:
+        _h1, hw, offs = sk.shingle_sets(text.tolist(), shingle)
+        return pd.Series([hw[offs[i]:offs[i + 1]].tolist()
+                          for i in range(offs.size - 1)])
+
+    return df.select(F.col(id_col).alias("doc_id"),
+                     sh(F.col(text_col)).alias("sset"))
+
+
+def shingle_hash_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      shingle: int = 5) -> DataFrame:
+    """(doc_id, hw): shingle_set_arrays exploded to one row per
+    distinct shingle hash — the posting-list form."""
+    return (shingle_set_arrays(df, text_col, id_col, shingle)
+            .select("doc_id", F.explode("sset").alias("hw")))
+
+
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle: int = 5,
+                        tau100: int = 90) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate join via prefix filtering
+    (the AllPairs/PPJoin principle — Bayardo et al. WWW'07, Xiao et
+    al. WWW'08; MapReduce formulation Vernica et al. SIGMOD'10, all
+    public) — the lossless complement of the probabilistic MinHash
+    path.  Three stacked exact filters before any verification:
+
+    - **df-ordered prefix index**: the shingle universe is totally
+      ordered by ASCENDING global document frequency (ties by hash),
+      so each document's prefix — its first ``s - ceil(tau*s) + 1``
+      set elements in that order — holds its RAREST shingles.  If
+      J(A,B) >= tau, the first common element of A and B sits inside
+      both prefixes (else the overlap would fit in ceil(tau*s)-1 <
+      tau*s <= |A inter B| suffix slots), so the prefix-prefix
+      equi-join is provably lossless while hot shingles stay out of
+      the postings.
+    - **length filter** (join predicate): tau*sa <= sb and
+      tau*sb <= sa, in exact integers.
+    - **positional filter** (join predicate): a match at set ranks
+      (ra, rb) can witness at most ``1 + min(sa-ra, sb-rb)`` common
+      elements, which must reach the required overlap
+      ``alpha = ceil(tau/(1+tau) * (sa+sb))``.
+    - **verify**: each surviving pair joins its two COMPACT sorted
+      set arrays (the Vernica et al. record-join shape — two
+      equi-joins against the per-doc array table, broadcast-sized
+      here) and the exact intersection count is a JVM
+      ``array_intersect`` inside whole-stage codegen, threshold
+      applied as the integer inequality
+      ``100*inter >= tau100*(sa+sb-inter)``.  No row-explode join:
+      the posting-list verify shuffled |cand| x set_size rows; the
+      array verify moves each set once per pair and never leaves
+      the JVM.
+
+    Everything emitted is exact int64, and the DuckDB oracle checks
+    losslessness with an algorithm-INDEPENDENT plan: the exhaustive
+    shared-shingle join with no prefix filter.  Output:
+    (id_a < id_b, n_inter, n_union).
+
+    Scale/corpus note: prefix postings are rare-by-construction on
+    natural text, where df distributions are zipfian.  A degenerate
+    shingle space defeats ANY exact filter: the fixture corpus at
+    width 5 has only ~2k distinct shingles across the whole table,
+    so every posting is hot and candidate fan-out is quadratic-ish
+    (measured: 5.3M candidates at tau=0.9/sf0.1).  Widening the
+    shingle until it spans multiple words restores combination-sized
+    rarity — width 15 on the same corpus yields 131x the distinct
+    shingles and 266 candidates for 254 true pairs.  Shingle width
+    is the knob that encodes "what counts as shared text"; the
+    filter cascade is the 100-TB design."""
+    sets = (shingle_set_arrays(df, text_col, id_col, shingle)
+            .withColumn("s", F.size("sset"))
+            .cache())
+    rows = sets.select("doc_id", "s", F.explode("sset").alias("hw"))
+    dfreq = rows.groupBy("hw").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "hw")
+    pref = (rows.join(dfreq, "hw")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.expr(
+                f"s - ({tau100} * s + 99) DIV 100 + 1"))
+            .select("doc_id", "hw", "rn", "s")
+            .cache())
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, "hw")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: tau*max(sa,sb) <= min(sa,sb)
+            .filter((100 * F.col("b.s") >= tau100 * F.col("a.s"))
+                    & (100 * F.col("a.s") >= tau100 * F.col("b.s")))
+            # positional filter: the overlap this match can still
+            # witness must reach alpha = ceil(tau/(1+tau)*(sa+sb))
+            .filter(F.expr(
+                f"1 + least(a.s - a.rn, b.s - b.rn) >= "
+                f"({tau100} * (a.s + b.s) + {100 + tau100} - 1) "
+                f"DIV {100 + tau100}"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    ver = (cand
+           .join(sets.select(F.col("doc_id").alias("id_a"),
+                             F.col("sset").alias("_seta"),
+                             F.col("s").alias("_sa")), "id_a")
+           .join(sets.select(F.col("doc_id").alias("id_b"),
+                             F.col("sset").alias("_setb"),
+                             F.col("s").alias("_sb")), "id_b")
+           # arrays are unique per doc, so the JVM array_intersect
+           # size IS |A inter B| — whole-stage codegen, no Arrow
+           # round-trip for the verify
+           .withColumn("n_inter",
+                       F.size(F.array_intersect("_seta", "_setb"))
+                       .cast("long")))
+    return (ver
+            .withColumn("n_union",
+                        F.col("_sa") + F.col("_sb") - F.col("n_inter"))
+            .filter(100 * F.col("n_inter")
+                    >= tau100 * F.col("n_union"))
+            .select("id_a", "id_b",
+                    F.col("n_inter").cast("long").alias("n_inter"),
+                    F.col("n_union").cast("long").alias("n_union")))

@@ -285,3 +285,36 @@ def video_motion_energy(videos: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, MOTION_SCHEMA)
+
+
+def ppm_pixel_stats(frames: DataFrame, id_cols: list) -> DataFrame:
+    """(id_cols..., w, h, pix_sum): exact int64 decoded-pixel sum of
+    every PPM payload, keyed by whatever id columns the caller carries
+    (image_id for resize output, video_id+frame_idx for sampled
+    frames).  The verification tail of a binary->binary transform —
+    appended to the producer's map-only chain, no shuffle of bytes."""
+    fields = [frames.schema[c] for c in id_cols]
+    schema = T.StructType(fields + [
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("pix_sum", T.LongType(), False),
+    ])
+    cols = frames.select(*id_cols, "bytes")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            ws = np.zeros(nb, np.int32)
+            hs = np.zeros(nb, np.int32)
+            ps = np.zeros(nb, np.int64)
+            for t in range(nb):
+                pix = im.ppm_decode(bytes(pdf["bytes"].iloc[t]))
+                hs[t], ws[t] = pix.shape[:2]
+                ps[t] = pix.astype(np.int64).sum()
+            out = {c: pdf[c] for c in id_cols}
+            out.update({"w": ws, "h": hs, "pix_sum": ps})
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema)

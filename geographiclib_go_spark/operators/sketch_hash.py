@@ -384,6 +384,34 @@ ORDER BY id_a, id_b
 """
 
 
+def ngram_jaccard_oracle_sql(shingle: int = 5,
+                             tau100: int = 60) -> str:
+    """DuckDB SQL computing queries.doc_ngram_jaccard_pairs with NO
+    prefix filter: the exhaustive shared-shingle self-join, exact
+    intersection counts, integer threshold.  Because the engine side
+    (dedup.ngram_jaccard_pairs) generates candidates from the prefix
+    index only, equality of the two result sets is a proof that the
+    prefix filter is lossless on the data — an algorithm-independent
+    gate, not a replay."""
+    return f"""
+WITH {_shingle_ctes(shingle)},
+sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.hw = b.hw AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       CAST(sa.s + sb.s - n_inter AS BIGINT) AS n_union
+FROM ix
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 100 * n_inter >= {tau100} * (sa.s + sb.s - n_inter)
+ORDER BY id_a, id_b
+"""
+
+
 def _token_hash_ctes(bits: int = 64) -> str:
     """CTEs ending in th(tok, h1, h2) + tok_counts(doc_id, tok, cnt):
     per-distinct-token polynomial hashes and per-document token

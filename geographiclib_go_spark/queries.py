@@ -1315,6 +1315,28 @@ def doc_simhash_pairs_h3(spark, sf_dir):
         "id_a", "id_b")
 
 
+def doc_ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT n-gram (character 15-shingle) Jaccard near-dup pairs via
+    prefix filtering (dedup.ngram_jaccard_pairs) — the lossless member
+    of the dedup family: MinHash approximates this measure, SimHash a
+    different one; here the TRUE Jaccard >= 0.9 pair set comes out,
+    with candidates generated from a df-ordered prefix index plus
+    exact length + positional filters (AllPairs/PPJoin).  Width 15
+    (~2.5 words) because the synthetic corpus draws from a tiny word
+    vocabulary: at width 5 only ~2k distinct shingles exist across
+    the whole table, every posting is hot, and candidate generation
+    is quadratic-ish (the regime the operator docstring calls out);
+    at width 15 the shingle space is combination-sized and the
+    filter cascade emits 266 candidates for the 254 true pairs at
+    sf0.1.  The oracle is algorithm-INDEPENDENT: DuckDB runs the
+    exhaustive shared-shingle join with no filters at all
+    (sketch_hash.ngram_jaccard_oracle_sql), so the hash gate proves
+    the three-filter cascade loses no pair."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return ded.ngram_jaccard_pairs(docs, shingle=15, tau100=90) \
+        .orderBy("id_a", "id_b")
+
+
 def doc_fingerprints(spark, sf_dir):
     """Per-document rolling min-hash fingerprint, every value
     SQL-verified (sketch_hash.fingerprint_oracle_sql)."""
@@ -1469,6 +1491,27 @@ def zone_caption_stats(spark, sf_dir):
                  F.countDistinct("caption").cast("long")
                  .alias("n_distinct"))
             .orderBy("zone_id"))
+
+
+def image_resize_stats(spark, sf_dir):
+    """The binary->binary image transform under the hash gate: every
+    image is codec-DECODED (PPM / jpeg-sim), nearest-neighbor RESIZED
+    to 16x16, RE-ENCODED as PPM (multimodal.resize_images), then the
+    resized payload is decoded AGAIN and its exact int64 pixel sum
+    emitted per row — so the gate covers decode, the resample index
+    math, and the encoder round-trip in one chain.  Plan shape:
+    generate -> resize -> stats is map-only end to end (zero
+    shuffles; at 10^12 images this is the canonical preprocessing
+    stage shape).  Oracle: the pinned numpy replay of the stored
+    pixels + subsample (images_resized.parquet,
+    images.resized_pix_sums_for_ids)."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    small = mm.resize_images(imgs, 16, 16)
+    return (mm.ppm_pixel_stats(small, ["image_id"])
+            .select("image_id", "w", "h", "pix_sum")
+            .orderBy("image_id"))
 
 
 def image_dup_components(spark, sf_dir):
@@ -1769,6 +1812,26 @@ def video_motion(spark, sf_dir):
     vids = md.generate_videos(spark, 60)
     got = mm.video_motion_energy(vids)
     return got.select("video_id", "n_frames", "motion").orderBy("video_id")
+
+
+def video_frame_sample(spark, sf_dir):
+    """The video -> image FAN-OUT a caption/vision pipeline feeds
+    from, under the hash gate: every rawv clip is container-parsed,
+    every 2nd frame re-encoded as a standalone PPM row
+    (multimodal.sample_video_frames), and each emitted frame decoded
+    back to its exact int64 pixel sum — so frame selection, the
+    per-frame encode, and the fan-out row multiplication are all
+    value-checked.  Map-only end to end (mapInPandas explodes rows
+    inside the stage; no shuffle).  Pixels are an integer formula of
+    (video_id, frame, y, x, c), so the oracle recomputes every sampled
+    frame's sum exactly in SQL."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.sources import media as md
+    vids = md.generate_videos(spark, 60)
+    frames = mm.sample_video_frames(vids, every_n=2)
+    return (mm.ppm_pixel_stats(frames, ["video_id", "frame_idx"])
+            .select("video_id", "frame_idx", "w", "h", "pix_sum")
+            .orderBy("video_id", "frame_idx"))
 
 
 def doc_hll_registers(spark, sf_dir):
@@ -2390,6 +2453,10 @@ ORACLE_SQL["doc_simhash_pairs"] = _sk.simhash_pairs_oracle_sql(
 ORACLE_SQL["doc_simhash_pairs_h3"] = _sk.simhash_pairs_oracle_sql(
     max_hamming=3)
 ORACLE_SQL["doc_fingerprints"] = _sk.fingerprint_oracle_sql(window=16)
+# algorithm-independent: the oracle joins EVERY shared shingle (no
+# prefix filter), so the hash gate proves prefix-filter losslessness
+ORACLE_SQL["doc_ngram_jaccard_pairs"] = _sk.ngram_jaccard_oracle_sql(
+    shingle=15, tau100=90)
 
 ORACLE_SQL["events_asof_view"] = """
     WITH clicks AS (SELECT event_id, ts, user_id FROM events
@@ -3190,6 +3257,21 @@ ORACLE_SQL["video_motion"] = """
     FROM d ORDER BY video_id
 """
 
+ORACLE_SQL["video_frame_sample"] = """
+    WITH px AS (
+      SELECT i.v AS video_id, f.f AS frame_idx,
+             SUM((i.v*7 + f.f*13 + y.v*3 + x.v*5 + c.v*11) % 256)
+               AS pix_sum
+      FROM range(0, 60) i(v),
+           (SELECT unnest([0, 2, 4, 6]) AS f) f,
+           range(0, 16) y(v), range(0, 16) x(v), range(0, 3) c(v)
+      GROUP BY i.v, f.f)
+    SELECT video_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+           CAST(pix_sum AS BIGINT) AS pix_sum
+    FROM px ORDER BY video_id, frame_idx
+"""
+
 # HLL sketch oracles: the 62-bit whole-value hash is recomputed in
 # SQL (sketch_hash.fulltext_hash_ctes), then bucket/rho/register and
 # the estimator are plain integer/float arithmetic in both engines
@@ -3384,6 +3466,13 @@ ORACLE_SQL["image_phash_dedup"] = """
     FROM '{fix}/images_phash.parquet'
     GROUP BY phash
     ORDER BY phash
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_resize_stats"] = """
+    SELECT image_id, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+           pix_sum
+    FROM '{fix}/images_resized.parquet'
+    ORDER BY image_id
 """.format(fix=_FIXTURE_DIR)
 
 ORACLE_SQL["image_row_invariants"] = """

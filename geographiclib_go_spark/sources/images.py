@@ -275,6 +275,36 @@ def row_invariants_for_ids(ids: np.ndarray, sizes=(16, 32),
     return out
 
 
+def resized_pix_sums_for_ids(ids: np.ndarray, out_w: int = 16,
+                             out_h: int = 16, sizes=(16, 32),
+                             lossy_pct: int = 30) -> np.ndarray:
+    """Driver-side ground truth for the resize transform
+    (operators/multimodal.resize_images): the exact int64 pixel sum of
+    each image after decoding its STORED bytes (quantized pixels for
+    the lossy rows — the same splitmix chains as phash_for_ids) and
+    nearest-neighbor subsampling to (out_w, out_h).  Pins the
+    images_resized.parquet fixture for queries.image_resize_stats."""
+    ids = np.asarray(ids).astype(np.uint64)
+    out = np.zeros(ids.size, np.int64)
+    size_pick = (splitmix64(ids ^ np.uint64(7))
+                 % np.uint64(len(sizes))).astype(np.int64)
+    lossy = (splitmix64(ids ^ np.uint64(13))
+             % np.uint64(100)) < np.uint64(lossy_pct)
+    for si, wh in enumerate(sizes):
+        m = size_pick == si
+        if not m.any():
+            continue
+        pix = _pixels_for(ids[m], wh, wh)
+        q = 8
+        qpix = ((pix.astype(np.int32) // q) * q + q // 2) \
+            .clip(0, 255).astype(np.uint8)
+        eff = np.where(lossy[m][:, None, None, None], qpix, pix)
+        yi = np.arange(out_h) * wh // out_h
+        xi = np.arange(out_w) * wh // out_w
+        out[m] = eff[:, yi][:, :, xi].astype(np.int64).sum(axis=(1, 2, 3))
+    return out
+
+
 INDEX_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType(), False),
     T.StructField("fmt", T.StringType(), False),

@@ -331,6 +331,25 @@ def build_images_zones(n: int = 5000, out_dir: str = None) -> str:
     return path
 
 
+def build_images_resized(n: int = 5000, out_w: int = 16,
+                         out_h: int = 16, out_dir: str = None) -> str:
+    """(image_id, pix_sum) — exact int64 pixel sums after the
+    nearest-neighbor resize to (out_w, out_h) of every image's STORED
+    pixels (images.resized_pix_sums_for_ids).  Pins the resize
+    transform oracle (queries.image_resize_stats)."""
+    from geographiclib_go_spark.sources import images as im
+    ids = np.arange(n, dtype=np.uint64)
+    ps = im.resized_pix_sums_for_ids(ids, out_w, out_h)
+    tbl = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "pix_sum": ps,
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "images_resized.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def build_track_simplify(n: int, out_dir: str = None) -> str:
     """DP oracle via the textbook recursive implementation.
 
@@ -452,6 +471,8 @@ def main():
     print("wrote", p5t)
     p5z = build_images_zones()
     print("wrote", p5z)
+    p5r = build_images_resized()
+    print("wrote", p5r)
     p6 = build_track_simplify(n)
     print("wrote", p6)
     p7 = build_map_match(n)

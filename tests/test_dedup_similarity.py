@@ -532,3 +532,44 @@ def test_image_zones_fixture_matches_spark_pip(spark, tmp_path):
     for col in ("image_id", "zone_id"):
         assert np.array_equal(got[col].to_numpy(), fresh[col].to_numpy())
         assert np.array_equal(fresh[col].to_numpy(), com[col].to_numpy())
+
+
+def test_ngram_jaccard_prefix_filter_equals_bruteforce(spark, docs_df):
+    """The prefix-filtered exact-Jaccard join emits exactly the pairs
+    an exhaustive all-pairs set comparison finds — prefix filtering
+    is lossless (the same claim the DuckDB oracle checks with its
+    filterless shared-shingle join)."""
+    from geographiclib_go_spark.operators import sketch_hash as sk
+
+    got = {(r.id_a, r.id_b): (r.n_inter, r.n_union)
+           for r in ded.ngram_jaccard_pairs(docs_df, shingle=5,
+                                            tau100=60).collect()}
+    pdf = docs_df.orderBy("doc_id").toPandas()
+    _h1, hw, offs = sk.shingle_sets(pdf["text"].tolist(), 5)
+    sets = [set(hw[offs[i]:offs[i + 1]].tolist())
+            for i in range(offs.size - 1)]
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if 100 * inter >= 60 * union:
+                want[(int(pdf.doc_id[a]), int(pdf.doc_id[b]))] = \
+                    (inter, union)
+    assert got == want
+    # the planted exact dups are found with Jaccard exactly 1
+    assert got[(0, 10)][0] == got[(0, 10)][1]
+    assert got[(1, 11)][0] == got[(1, 11)][1]
+
+
+def test_ngram_jaccard_short_doc_sentinel(spark):
+    """Documents shorter than the shingle width carry the {0} sentinel
+    set: two short docs are mutual duplicates (J=1), a short and a
+    long doc are not — the same convention as minhash_sigs."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["ab", "xy",
+                               "a much longer document body here"]}))
+    got = {(r.id_a, r.id_b): (r.n_inter, r.n_union)
+           for r in ded.ngram_jaccard_pairs(df).collect()}
+    assert got == {(1, 2): (1, 1)}

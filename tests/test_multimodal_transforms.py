@@ -1,0 +1,80 @@
+"""Binary->binary multimodal transforms: nearest-neighbor resize and
+video frame sampling, verified against independent numpy replays of
+the stored-pixel ground truth (the same gates queries.image_resize_stats
+and queries.video_frame_sample put under the driver's hash oracle)."""
+
+import os
+
+import duckdb
+import numpy as np
+
+from geographiclib_go_spark.operators import multimodal as mm
+from geographiclib_go_spark.sources import images as im
+from geographiclib_go_spark.sources import media as md
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "geographiclib_go_spark", "fixtures")
+
+
+def test_resize_pipeline_matches_numpy_replay(spark):
+    """decode -> nearest resize -> PPM re-encode -> decode again equals
+    the driver-side stored-pixel subsample for every image (both size
+    buckets, lossy and lossless rows)."""
+    n = 64
+    imgs = im.generate_images(spark, n)
+    small = mm.resize_images(imgs, 16, 16)
+    got = {r.image_id: (r.w, r.h, r.pix_sum)
+           for r in mm.ppm_pixel_stats(small, ["image_id"]).collect()}
+    want = im.resized_pix_sums_for_ids(np.arange(n, dtype=np.uint64))
+    assert len(got) == n
+    for i in range(n):
+        iid = f"img_{i:012d}"
+        assert got[iid] == (16, 16, int(want[i])), iid
+
+
+def test_resize_preserves_identity_at_native_size():
+    """Resizing a 16x16 image to 16x16 is the identity on pixels
+    (yi = xi = arange(16)), so the resized sum equals the stored sum
+    for every 16px row — a direct check of the index math."""
+    ids = np.arange(200, dtype=np.uint64)
+    inv = im.row_invariants_for_ids(ids)
+    rs = im.resized_pix_sums_for_ids(ids, 16, 16)
+    size_pick = (im.splitmix64(ids ^ np.uint64(7)) % np.uint64(2))
+    m16 = size_pick == 0
+    assert m16.any()
+    assert (rs[m16] == inv["pix_sum"][m16]).all()
+    # 32px images genuinely subsample: a strict subset of nonnegative
+    # pixels always sums below the full image
+    assert (rs[~m16] < inv["pix_sum"][~m16]).all()
+
+
+def test_images_resized_fixture_is_fresh():
+    """The committed fixture parquet equals the current numpy replay —
+    a stale fixture (generator drift) fails here before the driver's
+    oracle would."""
+    path = os.path.join(FIXTURE_DIR, "images_resized.parquet")
+    pdf = duckdb.sql(
+        f"SELECT image_id, pix_sum FROM '{path}' ORDER BY image_id"
+    ).df()
+    assert len(pdf) == 5000
+    want = im.resized_pix_sums_for_ids(np.arange(5000, dtype=np.uint64))
+    assert (pdf["pix_sum"].to_numpy(np.int64) == want).all()
+
+
+def test_frame_sample_pixel_sums(spark):
+    """sample_video_frames emits exactly frames 0,2,4,6 of every clip,
+    and each re-encoded PPM decodes to the formula pixels."""
+    n = 6
+    vids = md.generate_videos(spark, n)
+    frames = mm.sample_video_frames(vids, every_n=2)
+    rows = mm.ppm_pixel_stats(frames, ["video_id", "frame_idx"]) \
+        .collect()
+    got = {(r.video_id, r.frame_idx): (r.w, r.h, r.pix_sum)
+           for r in rows}
+    assert set(got) == {(v, f) for v in range(n) for f in (0, 2, 4, 6)}
+    for v in range(n):
+        full = md.video_frames_for(v)
+        for f in (0, 2, 4, 6):
+            want = int(full[f].astype(np.int64).sum())
+            assert got[(v, f)] == (16, 16, want), (v, f)
