@@ -178,6 +178,28 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                               max_hamming=max_hamming)
 
 
+def hamming_chunk_table(sigs: DataFrame, sig_col: str, id_col: str,
+                        max_hamming: int,
+                        bits: int = 64) -> DataFrame:
+    """(_id, _sig, chunk, chunk_val) — the persistable pigeonhole
+    index artifact for 64-bit signatures: each signature exploded to
+    its max_hamming+1 disjoint chunks.  Written once per corpus
+    snapshot (plans/lineage.run_stage), probed by any batch or stream
+    with a plain (chunk, chunk_val) equi-join — the image analog of
+    minhash_band_table."""
+    chunks = max_hamming + 1
+    width = bits // chunks
+    parts = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned(sig_col, c * width)
+                     .bitwiseAND(F.lit((1 << width) - 1))
+                     .alias("chunk_val"))
+            for c in range(chunks)])).alias("cc"))
+    return parts.select("_id", "_sig", "cc.chunk", "cc.chunk_val")
+
+
 def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
                        max_hamming: int,
                        bits: int = 64) -> DataFrame:
@@ -189,17 +211,8 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
     recall); the exact popcount filter removes false candidates.
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
-    chunks = max_hamming + 1
-    width = bits // chunks
-    parts = sigs.select(
-        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned(sig_col, c * width)
-                     .bitwiseAND(F.lit((1 << width) - 1))
-                     .alias("chunk_val"))
-            for c in range(chunks)])).alias("cc"))
-    parts = parts.select("_id", "_sig", "cc.chunk", "cc.chunk_val")
+    parts = hamming_chunk_table(sigs, sig_col, id_col, max_hamming,
+                                bits)
     # persist before the self-join (see minhash_candidates: avoids
     # running any upstream signature UDF once per join side)
     parts = parts.cache()

@@ -375,6 +375,49 @@ def streaming_ingest_dedup_events(doc_stream: DataFrame,
     return exact.unionByName(near)
 
 
+def streaming_image_dedup_events(image_stream: DataFrame,
+                                 corpus_chunks: DataFrame,
+                                 max_hamming: int = 4,
+                                 bits: int = 64,
+                                 sig_col: str = "phash",
+                                 id_col: str = "image_id") -> DataFrame:
+    """Streaming ingest-time IMAGE dedup against a PERSISTED phash
+    chunk index — the image-axis twin of
+    streaming_ingest_dedup_events: the static side is the write-once
+    pigeonhole chunk table of the corpus's DISTINCT perceptual hashes
+    (dedup.hamming_chunk_table, a plans/lineage snapshot), and every
+    arriving image explodes its 64-bit phash to max_hamming+1 chunks
+    and probes it with a stream-static equi-join — append-safe,
+    stateless, the corpus never re-read.
+
+    Emits match EVENTS (image_id, matched_phash, hamming):
+    hamming == 0 is an exact perceptual dup, 0 < hamming <=
+    max_hamming a near dup; pigeonhole recall is lossless, the exact
+    popcount refine removes false chunk collisions.  A pair colliding
+    in several chunks repeats (bounded by max_hamming+1 events) —
+    consumers treat the stream as a set, same contract as the doc
+    gate.  Images with no event are new; absence is the consumer's
+    fold.  Parity with the batch classifier is pytest-gated.
+
+    corpus_chunks: (_id, _sig, chunk, chunk_val) over distinct corpus
+    phashes (dedup.hamming_chunk_table output)."""
+    from geographiclib_go_spark.operators import dedup as ded
+
+    probe = ded.hamming_chunk_table(
+        image_stream.select(F.col(id_col), F.col(sig_col)),
+        sig_col=sig_col, id_col=id_col, max_hamming=max_hamming,
+        bits=bits)
+    ham = F.bit_count(
+        F.col("a._sig").bitwiseXOR(F.col("b._sig"))).cast("long")
+    return (probe.alias("a")
+            .join(corpus_chunks.alias("b"), ["chunk", "chunk_val"])
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a._id").alias("image_id"),
+                    F.col("b._sig").alias("matched_phash"),
+                    "hamming"))
+
+
 def streaming_pq_near_dup_events(vec_stream: DataFrame,
                                  encoded: DataFrame,
                                  books, seeds, dim: int,

@@ -307,6 +307,37 @@ def main():
         "BY, not part of the operator.",
         formatted(Q.track_lat_envelope(spark, sf))))
 
+    sections.append((
+        "doc_ngram_jaccard_pairs (exact Jaccard via AllPairs/PPJoin)",
+        "Four-part shape to check: (1) the shingle-set UDF is ONE "
+        "ArrowEvalPython feeding an InMemoryTableScan reused by the "
+        "df-count, the prefix build, and BOTH verify array sides; "
+        "(2) candidate generation is an equi-join on hw of the "
+        "PREFIX index only (row_number window + filter BEFORE the "
+        "join), with the length and positional filters evaluated "
+        "inside the join's codegen span; (3) the verify is two "
+        "equi-joins against the compact array table plus a JVM "
+        "array_intersect — no Arrow round-trip, no row-explode "
+        "shuffle; (4) no cross product anywhere.",
+        formatted(Q.doc_ngram_jaccard_pairs(spark, sf))))
+
+    sections.append((
+        "image_resize_stats (binary->binary transform chain)",
+        "generate -> resize (MapInPandas) -> re-decode stats "
+        "(MapInPandas) is ONE map-only chain: zero Exchange nodes "
+        "before the query's own ORDER BY.  At 10^12 images the cost "
+        "is a single scan; partition count is the only scaling "
+        "lever.",
+        formatted(Q.image_resize_stats(spark, sf))))
+
+    sections.append((
+        "video_frame_sample (video -> image fan-out)",
+        "The frame fan-out happens INSIDE the MapInPandas stage (rows "
+        "multiply in the Arrow batch, not through a join or explode "
+        "shuffle); decode stats append to the same stage chain.  "
+        "Zero Exchange nodes before the ORDER BY.",
+        formatted(Q.video_frame_sample(spark, sf))))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "

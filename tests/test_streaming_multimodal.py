@@ -364,3 +364,72 @@ def test_streaming_ingest_dedup_matches_batch_classifier(spark, tmp_path):
             for r in Q.docs_incremental_dedup(spark, sf).collect()}
     assert got == want
     assert "exact_dup" in got.values() or "near_dup" in got.values()
+
+
+def test_streaming_image_dedup_matches_batch_classifier(spark, tmp_path):
+    """streaming_image_dedup_events probing the SAME persisted phash
+    chunk index must classify every arriving image exactly like the
+    batch cross-Hamming check: an event with hamming 0 -> exact
+    perceptual dup, else any event -> near dup, else new."""
+    from geographiclib_go_spark.operators import dedup as ded
+
+    n, split = 1200, 1000
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    corpus_ph = np.unique(ph[:split])
+    batch = [(f"img_{i:012d}", int(ph[i])) for i in range(split, n)]
+
+    chunks = ded.hamming_chunk_table(
+        spark.createDataFrame(
+            [(int(p),) for p in corpus_ph], "phash long"),
+        sig_col="phash", id_col="phash", max_hamming=4)
+    chunks.write.mode("overwrite").parquet(str(tmp_path / "chunks"))
+    corpus_chunks = spark.read.parquet(str(tmp_path / "chunks"))
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(batch) // 2
+    spark.createDataFrame(batch[:half], "image_id string, phash long") \
+        .coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(batch[half:], "image_id string, phash long") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("image_id string, phash long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    out = ps.streaming_image_dedup_events(stream, corpus_chunks,
+                                          max_hamming=4)
+    q = (out.writeStream.format("memory").queryName("img_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM img_events").toPandas()
+    finally:
+        q.stop()
+
+    # batch classifier ground truth: numpy cross popcount
+    # (numpy<2 has no bitwise_count: fold the xor into bytes and use
+    # unpackbits)
+    def popcount64(x):
+        return np.unpackbits(
+            x.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+            axis=1).sum(axis=1)
+
+    want, want_events = {}, set()
+    for iid, p in batch:
+        ham = popcount64(np.bitwise_xor(np.int64(p), corpus_ph))
+        hits = corpus_ph[ham <= 4]
+        want[iid] = ("exact" if (ham == 0).any()
+                     else "near" if hits.size else "new")
+        for m, h in zip(hits, ham[ham <= 4]):
+            want_events.add((iid, int(m), int(h)))
+
+    got_events = {(r.image_id, int(r.matched_phash), int(r.hamming))
+                  for _, r in ev.iterrows()}
+    assert got_events == want_events  # event SET identical (dups ok)
+    exact_ids = set(ev[ev.hamming == 0].image_id)
+    near_ids = set(ev.image_id) - exact_ids
+    got = {iid: ("exact" if iid in exact_ids
+                 else "near" if iid in near_ids else "new")
+           for iid, _ in batch}
+    assert got == want
+    assert "exact" in got.values() and "near" in got.values()
