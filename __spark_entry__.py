@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,  # new in r4
         "image_resize_stats": Q.image_resize_stats,  # new in r4
         "video_frame_sample": Q.video_frame_sample,  # new in r4
+        "route_corridor_images": Q.route_corridor_images,  # new in r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,

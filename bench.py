@@ -97,6 +97,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "ellip_nearest_landmark", "sphere_nearest_landmark",
         "route_distance", "ellip_route_nearest",
         "route_crossings", "ellip_route_crossings",
+        "route_corridor_images",
         "sphere_polygon_area", "tile_counts", "tile_pyramid",
         "raster_coverage", "region_dissolve",
         "doc_token_stats", "doc_bpe_tokens", "doc_hll_distinct",

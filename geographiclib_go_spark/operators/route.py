@@ -127,6 +127,59 @@ def route_distance_join(points: DataFrame, route_lats, route_lons,
     return out
 
 
+def corridor_cover(route_lats, route_lons, radius_m: float, res: int,
+                   sphere_radius: float = 6371000.0) -> np.ndarray:
+    """Complete cell cover of the route CORRIDOR — the spherical
+    sausage {p : dist(p, route) <= radius_m} — at quadtree resolution
+    `res` (operators/cells).  Driver-side and tiny (the route is a
+    handful of vertices); the cover is the broadcast prefilter that
+    lets a corridor query prune a 10^12-row table to candidate cells
+    BEFORE any distance kernel runs.
+
+    Construction mirrors cells.cap_cover's completeness protocol:
+    sample the radius_m + pad region on an exact geodesic
+    (along-track phi, cross-track chi) grid at half the minimum cell
+    width — the (phi, chi) chart's metric is ds^2 = cos^2(chi) dphi^2
+    + dchi^2, so the true sample spacing only SHRINKS with |chi| —
+    then union the endpoint cap covers (the clamp region past each
+    vertex) and pad with a 1-ring expansion.  Losslessness is gated
+    twice: a brute-force pytest and the registered query's
+    algorithm-independent exhaustive SQL oracle."""
+    from geographiclib_go_spark.operators import cells
+
+    frames = route_frames(route_lats, route_lons)
+    a, b, nhat, e2, arc = frames
+    r = radius_m / sphere_radius
+    w_min = cells.min_cell_width_rad(res)
+    pad = cells.max_cell_width_rad(res) / 2
+    rr = r + pad
+    if rr >= np.pi / 2:  # corridor swallows a hemisphere: all cells
+        n = 1 << res
+        f, i, j = np.meshgrid(np.arange(6), np.arange(n), np.arange(n),
+                              indexing="ij")
+        return cells.fij_to_cell(f.ravel(), i.ravel(), j.ravel(), res)
+    step = w_min / 2
+    chi = np.arange(-int(np.ceil(rr / step)),
+                    int(np.ceil(rr / step)) + 1) * step
+    covers = []
+    for s in range(a.shape[0]):
+        phi = np.linspace(0.0, float(arc[s]),
+                          int(np.ceil(arc[s] / step)) + 2)
+        cp, cc = np.meshgrid(phi, chi, indexing="ij")
+        base = (np.cos(cp)[..., None] * a[s]
+                + np.sin(cp)[..., None] * e2[s])
+        q = (np.cos(cc)[..., None] * base
+             + np.sin(cc)[..., None] * nhat[s])
+        la, lo = cells.xyz_to_latlon(q[..., 0].ravel(),
+                                     q[..., 1].ravel(),
+                                     q[..., 2].ravel())
+        covers.append(cells.cell_from_latlon(la, lo, res))
+    for vla, vlo in zip(route_lats, route_lons):
+        covers.append(cells.cap_cover(float(vla), float(vlo), res, r))
+    cand = np.unique(np.concatenate(covers))
+    return cells.ring_expand(cand, res, 1)
+
+
 def route_segment_sql(route_lats, route_lons) -> str:
     """VALUES table seg(sid, ax,ay,az, bx,by,bz, nx,ny,nz,
     ex,ey,ez, arc) with the frame constants inlined — the SQL oracle

@@ -1514,6 +1514,54 @@ def image_resize_stats(spark, sf_dir):
             .orderBy("image_id"))
 
 
+_CORRIDOR_M = 400e3
+_CORRIDOR_RES = 6
+
+
+def route_corridor_images(spark, sf_dir):
+    """Corridor join — the spatial BUFFER query — over the image
+    table: which images lie within 400 km of the NYC->London->Tokyo
+    route, and how far from which leg?  The 10^12-row shape is
+    prune-then-refine: every image is cell-encoded (the flagship tile
+    kernel), semi-joined against the driver-side corridor cell cover
+    (route.corridor_cover — a few hundred cells, broadcast as a JVM
+    LocalRelation), and ONLY the candidates reach the cross-track
+    distance kernel (route.route_distance_join, map-only Arrow
+    stage).  Contrast with route_distance, which kernels every row:
+    here the scan + broadcast semi-join prunes ~97% of the table
+    before any trig runs, and no shuffle touches the fact side.  The
+    threshold compares the ROUNDED distance on both engines, so the
+    gate cannot flake on a boundary ulp.  Oracle: algorithm-
+    independent and EXHAUSTIVE — DuckDB computes the closed-form
+    sphere cross-track distance for every (image, segment) pair from
+    the pinned placement fixture (images_placements.parquet) with no
+    cover, no cells, no prefilter — so the driver hash check proves
+    the cover cascade lossless, the same gate style as
+    doc_ngram_jaccard_pairs."""
+    from geographiclib_go_spark.operators import route as rt
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_image_index(spark, _IMG_QUERY_N)
+    cover = rt.corridor_cover(_ROUTE_LATS, _ROUTE_LONS, _CORRIDOR_M,
+                              _CORRIDOR_RES, SPHERE_A)
+    # the cover is a query-compile-time CONSTANT, so the prune is an
+    # InSet filter (JVM hash-set probe per row, zero exchanges) right
+    # on top of the tile kernel — a broadcast semi-join would make
+    # Catalyst push an isnotnull(tile_id) join predicate below the
+    # join and re-evaluate the cell UDF once per plan copy.  A
+    # distributed cover table (semi-join) only wins when the cover
+    # itself outgrows a literal list — ~10^6 cells, far beyond any
+    # corridor at sane resolution.
+    cand = (tiling.assign_tiles(imgs, _CORRIDOR_RES)
+            .filter(F.col("tile_id")
+                    .isin([int(c) for c in cover])))
+    out = rt.route_distance_join(cand, _ROUTE_LATS, _ROUTE_LONS,
+                                 radius=SPHERE_A)
+    return (out.withColumn("dist_r", F.round("route_dist_m", 2))
+            .filter(F.col("dist_r") <= F.lit(_CORRIDOR_M))
+            .select("image_id", "seg", "dist_r")
+            .orderBy("image_id", "seg"))
+
+
 def image_dup_components(spark, sf_dir):
     """Near-dup CLUSTERS over the image table: the Hamming band join
     emits pairs, connected_components (alternating large/small-star,
@@ -3520,6 +3568,45 @@ ORACLE_SQL["zone_caption_stats"] = """
     GROUP BY z.zone_id
     ORDER BY z.zone_id
 """.format(fix=_FIXTURE_DIR)
+
+# corridor join: EXHAUSTIVE per-(image, segment) cross-track trig
+# over the pinned placement fixture — no cover, no cells — so the
+# hash gate proves the engine's cell-cover prefilter lossless
+ORACLE_SQL["route_corridor_images"] = f"""
+    WITH img AS (SELECT image_id, lat, lon
+                 FROM '{_FIXTURE_DIR}/images_placements.parquet'),
+    seg(sid, ax, ay, az, bx, by, bz, nx, ny, nz, ex, ey, ez, arc)
+      AS (VALUES {_rt.route_segment_sql(_ROUTE_LATS, _ROUTE_LONS)}),
+    p AS (SELECT image_id,
+            COS(RADIANS(lat)) * COS(RADIANS(lon)) AS px,
+            COS(RADIANS(lat)) * SIN(RADIANS(lon)) AS py,
+            SIN(RADIANS(lat)) AS pz
+          FROM img),
+    d0 AS (SELECT image_id, sid, arc,
+             px, py, pz, ax, ay, az, bx, by, bz, nx, ny, nz,
+             ex, ey, ez,
+             LEAST(GREATEST(px*nx + py*ny + pz*nz, -1.0), 1.0) AS sxt
+           FROM p, seg),
+    d1 AS (SELECT *, px - sxt*nx AS tx, py - sxt*ny AS ty,
+                  pz - sxt*nz AS tz
+           FROM d0),
+    d2 AS (SELECT *, ATAN2(tx*ex + ty*ey + tz*ez,
+                           tx*ax + ty*ay + tz*az) AS phi
+           FROM d1),
+    d3 AS (SELECT image_id, sid,
+             CASE WHEN phi >= 0.0 AND phi <= arc
+                  THEN ABS(ASIN(sxt))
+                  ELSE LEAST(
+                    ACOS(LEAST(GREATEST(px*ax + py*ay + pz*az,
+                                        -1.0), 1.0)),
+                    ACOS(LEAST(GREATEST(px*bx + py*by + pz*bz,
+                                        -1.0), 1.0)))
+             END * {SPHERE_A} AS dist
+           FROM d2)
+    SELECT image_id, sid AS seg, ROUND(dist, 2) AS dist_r
+    FROM d3 WHERE ROUND(dist, 2) <= {_CORRIDOR_M}
+    ORDER BY image_id, seg
+"""
 
 ORACLE_SQL["image_phash_near_dup"] = """
     WITH d AS (SELECT DISTINCT phash

@@ -331,6 +331,29 @@ def build_images_zones(n: int = 5000, out_dir: str = None) -> str:
     return path
 
 
+def build_images_placements(n: int = 5000, out_dir: str = None) -> str:
+    """(image_id, lat, lon) — pure-numpy replication of the
+    distributed generator's placement chain (phash_for_ids ->
+    latlon_for_ids incl. hot-disc skew; bit-equality with the Spark
+    generator is pytest-gated).  Pins the corridor-join oracle
+    (queries.route_corridor_images): DuckDB runs the EXHAUSTIVE
+    per-(image, segment) cross-track trig over these placements, so
+    the hash gate proves the engine's cell-cover prefilter lossless."""
+    from geographiclib_go_spark.sources import images as im
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lat, lon = im.latlon_for_ids(ids, ph)
+    tbl = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "lat": np.asarray(lat, dtype=np.float64),
+        "lon": np.asarray(lon, dtype=np.float64),
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "images_placements.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def build_images_resized(n: int = 5000, out_w: int = 16,
                          out_h: int = 16, out_dir: str = None) -> str:
     """(image_id, pix_sum) — exact int64 pixel sums after the
@@ -473,6 +496,8 @@ def main():
     print("wrote", p5z)
     p5r = build_images_resized()
     print("wrote", p5r)
+    p5p = build_images_placements()
+    print("wrote", p5p)
     p6 = build_track_simplify(n)
     print("wrote", p6)
     p7 = build_map_match(n)

@@ -322,6 +322,19 @@ def main():
         formatted(Q.doc_ngram_jaccard_pairs(spark, sf))))
 
     sections.append((
+        "route_corridor_images (corridor join: cover prune -> refine)",
+        "The shape that matters at 10^12 rows: the generator scan "
+        "feeds ONE tile-kernel ArrowEvalPython, an InSet Filter "
+        "against the ~1.4k-cell corridor cover (a query-compile-time "
+        "constant — JVM hash-set probe, no join, no exchange) prunes "
+        "~97% of rows BEFORE the cross-track distance kernel runs, "
+        "and the ONLY Exchange in the whole plan is the query's own "
+        "ORDER BY.  Check: exactly two ArrowEvalPython nodes (cell, "
+        "distance) — a broadcast semi-join variant duplicates the "
+        "cell UDF under a pushed isnotnull join predicate.",
+        formatted(Q.route_corridor_images(spark, sf))))
+
+    sections.append((
         "image_resize_stats (binary->binary transform chain)",
         "generate -> resize (MapInPandas) -> re-decode stats "
         "(MapInPandas) is ONE map-only chain: zero Exchange nodes "

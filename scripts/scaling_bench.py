@@ -111,15 +111,23 @@ for _ in range(reps):
     out.count()
     pipe_times.append(round(time.time() - t0, 3))
 
+    # shuffle-heavy pass over the SAME n_images rows (earlier rounds
+    # joined the fixed sf0.1 TPC tables here, which only measured JVM
+    # fixed overhead — ~2 s regardless of parallelism — and reported
+    # a meaningless "efficiency"): two-phase hash agg onto 1M hash
+    # buckets, then a broadcast join back and a second full agg, so
+    # the exchange volume scales with the input
     t1 = time.time()
-    li = spark.read.parquet(f"{{sf_dir}}/lineitem.parquet")
-    orders = spark.read.parquet(f"{{sf_dir}}/orders.parquet")
-    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .groupBy("l_orderkey")
-         .agg(F.count("*").alias("n"),
-              F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-              .alias("s")))
-    j.agg(F.count("*"), F.sum("s")).collect()
+    bucketed = (images
+                .groupBy(F.pmod("phash", F.lit(1_000_000))
+                         .alias("bucket"))
+                .agg(F.count("*").alias("n"),
+                     F.sum("lat").alias("s_lat"),
+                     F.max("lon").alias("mx_lon")))
+    top = bucketed.orderBy(F.desc("n"), "bucket").limit(1000)
+    (bucketed.join(F.broadcast(top.select("bucket")), "bucket",
+                   "left_semi")
+     .agg(F.sum("n"), F.sum("s_lat"), F.max("mx_lon")).collect())
     rel_times.append(round(time.time() - t1, 3))
 
 print(json.dumps({{"cpus": int(cpus), "n_images": n,
@@ -206,7 +214,7 @@ identical shuffle partitioning (64), configurations interleaved
 {rounds}x with {reps} timed repetitions each; medians reported
 because this host shows CPU steal (oversubscribed neighbors).
 
-| config | pipeline median (s) | samples (s) | images/s | relational median (s) |
+| config | pipeline median (s) | samples (s) | images/s | shuffle-agg median (s) |
 |---|---|---|---|---|
 | local[{lo_n}]  | {p8} | {s8} | {result['images_per_sec'][lo_k]} | {r8} |
 | local[{hi_n}] | {p32} | {s32} | {result['images_per_sec'][hi_k]} | {r32} |
@@ -216,7 +224,9 @@ because this host shows CPU steal (oversubscribed neighbors).
 - **host's achievable {lo_n} -> {hi_n} pure-CPU speedup, measured in
   the same session: {hw['speedup']}x**
 - **pipeline efficiency vs that hardware ceiling: {eff_norm:.3f}**
-- relational join/agg scaling efficiency: {rel_eff:.3f}
+- shuffle-heavy agg+join pass over the same {n_images:,} rows
+  (exchange volume scales with input): scaling efficiency
+  {rel_eff:.3f}
 
 Caveats: this host is an oversubscribed VM (heavy CPU steal in
 /proc/stat); with wide fans 4x wall-clock scaling can be physically

@@ -573,3 +573,39 @@ def test_ngram_jaccard_short_doc_sentinel(spark):
     got = {(r.id_a, r.id_b): (r.n_inter, r.n_union)
            for r in ded.ngram_jaccard_pairs(df).collect()}
     assert got == {(1, 2): (1, 1)}
+
+
+def test_images_placements_fixture_matches_spark_generator(spark,
+                                                           tmp_path):
+    """The committed (image_id, lat, lon) placement fixture must
+    equal BOTH a fresh numpy rebuild (phash_for_ids ->
+    latlon_for_ids) and — bit for bit — the distributed generator's
+    placement columns (the corridor-join oracle trusts these
+    doubles: queries.route_corridor_images)."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+    from geographiclib_go_spark.sources import images as im
+
+    n = 1200
+    got = (im.generate_image_index(spark, n)
+           .select("image_id", "lat", "lon").toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+
+    _spec = importlib.util.spec_from_file_location(
+        "build_fixtures", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "build_fixtures.py"))
+    bf = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(bf)
+    fresh = pq.read_table(
+        bf.build_images_placements(n, out_dir=str(tmp_path))).to_pandas()
+    com = pq.read_table(os.path.join(
+        bf.FIXTURE_DIR, "images_placements.parquet")).to_pandas().head(n)
+    for col in ("lat", "lon"):
+        assert np.array_equal(got[col].to_numpy(),
+                              fresh[col].to_numpy()), col
+        assert np.array_equal(fresh[col].to_numpy(),
+                              com[col].to_numpy()), col
+    assert list(fresh.image_id) == list(com.image_id)

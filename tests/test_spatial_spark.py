@@ -671,3 +671,61 @@ def test_knn_auto_res_requires_stats_or_exact_count(spark):
         sj.knn_join(big, qdf, k=2, strategy="ring")
     out = sj.knn_join(big, qdf, k=2, res=3, strategy="ring")
     assert out.count() == 4
+
+
+def test_corridor_cover_is_lossless_and_bounded():
+    """route.corridor_cover must contain the cell of EVERY point
+    within radius_m of the route (completeness — the property the
+    exhaustive corridor-query oracle gates at driver time), while
+    staying a small fraction of the cell space (it is a broadcast
+    prefilter, not a table)."""
+    from geographiclib_go_spark.operators import cells
+    from geographiclib_go_spark.operators import route as rt
+    from geographiclib_go_spark import queries as Q
+
+    r_m, res = Q._CORRIDOR_M, Q._CORRIDOR_RES
+    cover = set(rt.corridor_cover(Q._ROUTE_LATS, Q._ROUTE_LONS,
+                                  r_m, res, Q.SPHERE_A).tolist())
+    # every generated image placement within the corridor (and a 25%
+    # margin band around it) must land in a covered cell
+    ids = np.arange(20_000, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lat, lon = im.latlon_for_ids(ids, ph)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    frames = rt.route_frames(Q._ROUTE_LATS, Q._ROUTE_LONS)
+    d = rt.segment_distances(lat, lon, frames, Q.SPHERE_A).min(axis=1)
+    inside = d <= r_m * 1.25
+    got_cells = cells.cell_from_latlon(lat[inside], lon[inside], res)
+    missing = [c for c in np.unique(got_cells)
+               if c not in cover and
+               d[inside][got_cells == c].min() <= r_m]
+    assert missing == []
+    # bounded: a thin sausage, far below the full cell space
+    assert len(cover) < 0.2 * 6 * (1 << res) ** 2
+
+
+def test_route_corridor_images_matches_bruteforce(spark):
+    """The registered corridor query (cover prune -> kernel refine)
+    must emit EXACTLY the filterless brute-force (image, seg, dist)
+    set — prune-then-refine loses nothing and adds nothing."""
+    from geographiclib_go_spark.operators import route as rt
+    from geographiclib_go_spark import queries as Q
+
+    got = {(r.image_id, int(r.seg), float(r.dist_r))
+           for r in Q.route_corridor_images(spark, None).collect()}
+
+    n = Q._IMG_QUERY_N
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lat, lon = im.latlon_for_ids(ids, ph)
+    frames = rt.route_frames(Q._ROUTE_LATS, Q._ROUTE_LONS)
+    d = rt.segment_distances(np.asarray(lat, np.float64),
+                             np.asarray(lon, np.float64),
+                             frames, Q.SPHERE_A)
+    want = set()
+    for s in range(d.shape[1]):
+        dr = np.round(d[:, s], 2)
+        for i in np.flatnonzero(dr <= Q._CORRIDOR_M):
+            want.add((f"img_{int(i):012d}", s, float(dr[i])))
+    assert got == want and len(want) > 50
