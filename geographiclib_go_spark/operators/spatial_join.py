@@ -107,7 +107,17 @@ def cap_cover_udf(res: int, radius_rad: float):
 
 def with_cell(df: DataFrame, res: int, lat_col: str = "lat",
               lon_col: str = "lon", out: str = "cell") -> DataFrame:
-    return df.withColumn(out, cell_udf(res)(F.col(lat_col), F.col(lon_col)))
+    """Append the quadtree cell id (map-side Arrow kernel).
+
+    The coalesce makes the column NON-NULLABLE, which matters when it
+    becomes an equi-join key: on a nullable key Catalyst infers an
+    isnotnull predicate and pushes it below the projection, cloning
+    the cell kernel into a SECOND ArrowEvalPython stage — one extra
+    Python round trip per row on the fact side.  The kernel never
+    returns null and -1 is not a cell id, so this is value-identity."""
+    return df.withColumn(
+        out, F.coalesce(cell_udf(res)(F.col(lat_col), F.col(lon_col)),
+                        F.lit(-1)))
 
 
 def plan_radius(radius_m: float, a: float = WGS84_A,
