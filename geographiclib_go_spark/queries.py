@@ -1545,15 +1545,16 @@ def route_corridor_images(spark, sf_dir):
                               _CORRIDOR_RES, SPHERE_A)
     # the cover is a query-compile-time CONSTANT, so the prune is an
     # InSet filter (JVM hash-set probe per row, zero exchanges) right
-    # on top of the tile kernel — a broadcast semi-join would make
-    # Catalyst push an isnotnull(tile_id) join predicate below the
-    # join and re-evaluate the cell UDF once per plan copy.  A
-    # distributed cover table (semi-join) only wins when the cover
-    # itself outgrows a literal list — ~10^6 cells, far beyond any
-    # corridor at sane resolution.
+    # on top of the tile kernel — a broadcast semi-join would add an
+    # exchange, and a distributed cover table only wins when the
+    # cover outgrows a literal list (~10^6 cells, far beyond any
+    # corridor at sane resolution).  The IN list ships as ONE parsed
+    # SQL string: Column.isin(1445 values) costs 1445 py4j
+    # round-trips at plan-BUILD time — measured 3-30 s on a busy JVM
+    # (the whole query executes in ~2 s).
     cand = (tiling.assign_tiles(imgs, _CORRIDOR_RES)
-            .filter(F.col("tile_id")
-                    .isin([int(c) for c in cover])))
+            .filter(F.expr("tile_id IN (%s)"
+                           % ",".join(str(int(c)) for c in cover))))
     out = rt.route_distance_join(cand, _ROUTE_LATS, _ROUTE_LONS,
                                  radius=SPHERE_A)
     return (out.withColumn("dist_r", F.round("route_dist_m", 2))
