@@ -418,6 +418,41 @@ def streaming_image_dedup_events(image_stream: DataFrame,
                     "hamming"))
 
 
+def streaming_corridor_events(image_stream: DataFrame,
+                              route_lats, route_lons,
+                              radius_m: float, res: int,
+                              sphere_radius: float = 6371000.0,
+                              lat_col: str = "lat",
+                              lon_col: str = "lon",
+                              id_col: str = "image_id") -> DataFrame:
+    """Streaming corridor gate — arriving image placements tested
+    against the route corridor (the streaming twin of
+    queries.route_corridor_images): each row is cell-encoded, pruned
+    by the driver-side corridor cover (route.corridor_cover, an InSet
+    constant in the plan — no join, no state), and only survivors
+    reach the cross-track distance kernel.  Emits
+    (image_id, seg, dist_r) per in-corridor (image, segment) pair,
+    dist_r rounded to cm like the batch query.  The whole gate is a
+    stateless map-only chain, so it is append-safe by construction
+    (no watermark, no window, no stream-static join); batch parity is
+    pytest-gated."""
+    from geographiclib_go_spark.operators import route as rt
+    from geographiclib_go_spark.operators import tiling
+
+    cover = rt.corridor_cover(route_lats, route_lons, radius_m, res,
+                              sphere_radius)
+    cand = (tiling.assign_tiles(image_stream, res,
+                                lat_col=lat_col, lon_col=lon_col)
+            .filter(F.expr("tile_id IN (%s)"
+                           % ",".join(str(int(c)) for c in cover))))
+    out = rt.route_distance_join(cand, route_lats, route_lons,
+                                 radius=sphere_radius,
+                                 lat_col=lat_col, lon_col=lon_col)
+    return (out.withColumn("dist_r", F.round("route_dist_m", 2))
+            .filter(F.col("dist_r") <= F.lit(float(radius_m)))
+            .select(F.col(id_col), "seg", "dist_r"))
+
+
 def streaming_pq_near_dup_events(vec_stream: DataFrame,
                                  encoded: DataFrame,
                                  books, seeds, dim: int,

@@ -433,3 +433,49 @@ def test_streaming_image_dedup_matches_batch_classifier(spark, tmp_path):
            for iid, _ in batch}
     assert got == want
     assert "exact" in got.values() and "near" in got.values()
+
+
+def test_streaming_corridor_matches_batch_query(spark, tmp_path):
+    """streaming_corridor_events over the same placements the batch
+    corridor query reads must emit the identical (image_id, seg,
+    dist_r) set — the stateless map-only gate cannot depend on
+    micro-batch boundaries."""
+    from geographiclib_go_spark import queries as Q
+
+    want = {(r.image_id, int(r.seg), float(r.dist_r))
+            for r in Q.route_corridor_images(spark, None).collect()}
+
+    import pandas as pd
+
+    n = Q._IMG_QUERY_N
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lat, lon = im.latlon_for_ids(ids, ph)
+    pdf = pd.DataFrame({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "lat": np.asarray(lat, np.float64),
+        "lon": np.asarray(lon, np.float64)})
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = n // 2
+    schema = "image_id string, lat double, lon double"
+    spark.createDataFrame(pdf.iloc[:half], schema) \
+        .coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[half:], schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    out = ps.streaming_corridor_events(
+        stream, Q._ROUTE_LATS, Q._ROUTE_LONS,
+        Q._CORRIDOR_M, Q._CORRIDOR_RES)
+    q = (out.writeStream.format("memory").queryName("corridor_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM corridor_events").toPandas()
+    finally:
+        q.stop()
+    got = {(r.image_id, int(r.seg), float(r.dist_r))
+           for _, r in ev.iterrows()}
+    assert got == want and len(got) == len(ev)  # set == batch, no dups
