@@ -500,7 +500,15 @@ def test_ellip_fixture_parquet_fresh(tmp_path):
     """The committed WGS84 fixture parquet (the driver's hash oracle
     for the two ellipsoidal queries) must equal a fresh kernel
     recompute — guards against editing route/inverse kernels without
-    re-running scripts/build_fixtures.py."""
+    re-running scripts/build_fixtures.py.
+
+    Float columns compare at 1e-6 m / 1e-12 deg rather than bit-exact:
+    numpy's SIMD transcendental kernels pick CPU-specific code paths,
+    so the same code can drift by an ulp between hosts (observed:
+    47/1500 s_along rows differed sub-nanometer after a sandbox
+    migration).  A real kernel edit moves results by far more than a
+    micrometer; the driver's hash gate rounds to 1e-2 m, so ulp drift
+    never reaches it."""
     import importlib.util
     import os
 
@@ -524,23 +532,27 @@ def test_ellip_fixture_parquet_fresh(tmp_path):
         ["c_custkey", "qid"]).reset_index(drop=True)
     fresh_lm = fresh_lm.sort_values(
         ["c_custkey", "qid"]).reset_index(drop=True)
-    assert np.array_equal(fresh_lm.dist_m.to_numpy(),
-                          com_lm.dist_m.to_numpy())
+    assert np.allclose(fresh_lm.dist_m.to_numpy(),
+                       com_lm.dist_m.to_numpy(), rtol=0, atol=1e-6)
     com_rt = com_rt[com_rt.c_custkey < n].reset_index(drop=True)
     assert np.array_equal(fresh_rt.seg.to_numpy(), com_rt.seg.to_numpy())
-    assert np.array_equal(fresh_rt.s_along.to_numpy(),
-                          com_rt.s_along.to_numpy())
-    assert np.array_equal(fresh_rt.dist_m.to_numpy(),
-                          com_rt.dist_m.to_numpy())
+    assert np.allclose(fresh_rt.s_along.to_numpy(),
+                       com_rt.s_along.to_numpy(), rtol=0, atol=1e-6)
+    assert np.allclose(fresh_rt.dist_m.to_numpy(),
+                       com_rt.dist_m.to_numpy(), rtol=0, atol=1e-6)
     fresh_rx = pq.read_table(
         bf.build_route_crossings(n, out_dir=str(tmp_path))).to_pandas()
     com_rx = pq.read_table(os.path.join(
         bf.FIXTURE_DIR, "ellip_route_crossings.parquet")).to_pandas()
     com_rx = com_rx[com_rx.c_custkey < n].reset_index(drop=True)
     assert len(fresh_rx) == len(com_rx) > 0
-    for col in ("c_custkey", "seg", "ilat", "ilon"):
+    for col in ("c_custkey", "seg"):
         assert np.array_equal(fresh_rx[col].to_numpy(),
                               com_rx[col].to_numpy()), col
+    for col in ("ilat", "ilon"):
+        assert np.allclose(fresh_rx[col].to_numpy(),
+                           com_rx[col].to_numpy(),
+                           rtol=0, atol=1e-12), col
 
 
 def test_cap_covers_by_cell_dedup_and_superset(monkeypatch):
