@@ -62,6 +62,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_stats": Q.image_resize_stats,  # new in r4
         "video_frame_sample": Q.video_frame_sample,  # new in r4
         "route_corridor_images": Q.route_corridor_images,  # new in r4
+        "doc_decontaminate": Q.doc_decontaminate,  # new in r4
+        "doc_repetition_filter": Q.doc_repetition_filter,  # new in r4
+        "doc_substring_dedup": Q.doc_substring_dedup,  # new in r4
+        "doc_domain_mix": Q.doc_domain_mix,  # new in r4
+        "doc_bm25_topk": Q.doc_bm25_topk,  # new in r4
+        "image_caption_conflict": Q.image_caption_conflict,  # new in r4
+        "image_tile_rebalance": Q.image_tile_rebalance,  # new in r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,

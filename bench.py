@@ -118,6 +118,9 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "image_dup_components", "images_clean_pipeline",
         "doc_dup_clusters", "doc_train_val_split",
         "doc_stratified_sample", "pts_geohash_rollup", "pts_dbscan",
+        "doc_decontaminate", "doc_repetition_filter",
+        "doc_substring_dedup", "doc_domain_mix", "doc_bm25_topk",
+        "image_caption_conflict", "image_tile_rebalance",
     ]
     for name in headline:
         fn = getattr(Q, name)

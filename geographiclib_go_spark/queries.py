@@ -33,6 +33,7 @@ from geographiclib_go_spark.functions.geodesic_udfs import (
     make_direct_udf, make_gnomonic_fwd_udf, make_inverse_s12_udf,
     make_inverse_udf, make_waypoint_udf)
 from geographiclib_go_spark.operators import clustering as cl
+from geographiclib_go_spark.operators import corpus as cps
 from geographiclib_go_spark.operators import components as cc
 from geographiclib_go_spark.operators import dedup as ded
 from geographiclib_go_spark.operators import geohash as gh
@@ -1337,6 +1338,61 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
         .orderBy("id_a", "id_b")
 
 
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus.py): training docs
+    sharing any 8-token window with the held-out eval slice
+    (doc_id % 7 == 0) are flagged, per-source counts out.  The eval
+    n-gram set broadcasts (benchmarks are tiny next to a 100 TB
+    corpus); the train side is map-only explode + broadcast semi-join,
+    so the only real exchanges are bounded by the contamination mass.
+    Oracle: DuckDB replays the identical window/join/aggregate chain
+    (corpus.decontaminate_oracle_sql — constants shared)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return cps.decontaminate(docs)
+
+
+def doc_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition gate (operators/corpus.py): per-doc top
+    unigram ratio (flag at >= 1/8) and duplicate-bigram surplus,
+    rolled up per source as exact int64.  All counting stays in
+    whole-stage codegen; shuffles key on (doc_id, token) then doc_id —
+    unique-ish keys, no skew at any scale."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return cps.repetition_stats(docs)
+
+
+def doc_substring_dedup(spark, sf_dir):
+    """Windowed substring dedup (operators/corpus.py): a doc sharing a
+    16-token contiguous span with a lower-doc_id doc is removed
+    (keep-first, order-free).  Posting-list-shaped: per-window MIN
+    then probe — a hot span costs its posting length, never its
+    square.  Oracle replays the same distinct/min/probe chain."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return cps.substring_dedup(docs)
+
+
+def doc_domain_mix(spark, sf_dir):
+    """Temperature (sqrt) domain mixing (operators/corpus.py): per-lang
+    weight floor(sqrt(n_docs * 1e6)) and integer quota out of a
+    100k-doc budget.  Integer-exact cross-engine — IEEE sqrt is
+    correctly rounded, everything else is int64.  One tiny per-domain
+    count + a 1-row broadcast total."""
+    docs = _t(spark, sf_dir, "documents")
+    return cps.domain_mix(docs)
+
+
+def doc_bm25_topk(spark, sf_dir):
+    """BM25 top-20 retrieval (operators/corpus.py) for the fixed term
+    set (spark, join, stream), k1=1.2 b=0.75, rational idf
+    (N-df+0.5)/(df+0.5).  tf per term is a higher-order array filter —
+    map-only, no explode; the only exchanges are the 1-row corpus
+    stats and TakeOrdered(20).  Scores are built from exact-integer
+    counts with identical parenthesization in the SQL oracle, so the
+    doubles match bit-for-bit."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return cps.bm25_topk(docs)
+
+
 def doc_fingerprints(spark, sf_dir):
     """Per-document rolling min-hash fingerprint, every value
     SQL-verified (sketch_hash.fingerprint_oracle_sql)."""
@@ -1491,6 +1547,67 @@ def zone_caption_stats(spark, sf_dir):
                  F.countDistinct("caption").cast("long")
                  .alias("n_distinct"))
             .orderBy("zone_id"))
+
+
+def image_caption_conflict(spark, sf_dir):
+    """Caption-conflict detector over the north-rule table: exact-dup
+    image groups (same phash) whose rows disagree on the CAPTION —
+    the label-noise audit a multimodal training pipeline runs after
+    visual dedup (keep one caption or drop the cluster).  Uses the
+    byte-free index path with captions (generate_image_index
+    with_caption=True): one hash aggregate on phash, group count /
+    distinct-caption count / canonical (min) caption out, conflicts
+    only.  Oracle: the pinned phash fixture joined to the pinned
+    per-row caption fixture (images_invariants), GROUP BY replayed —
+    so the gate checks generator determinism of BOTH columns and the
+    aggregation.  Scale shape: one shuffle on phash; countDistinct
+    adds the standard two-phase expand, bounded by dup-group sizes."""
+    from geographiclib_go_spark.sources import images as im
+    idx = im.generate_image_index(spark, _IMG_QUERY_N,
+                                  with_caption=True)
+    return (idx.groupBy("phash")
+            .agg(F.count("*").cast("long").alias("n_images"),
+                 F.countDistinct("caption").cast("long")
+                 .alias("n_captions"),
+                 F.min("caption").alias("first_caption"))
+            .filter(F.col("n_captions") > 1)
+            .orderBy("phash"))
+
+
+def image_tile_rebalance(spark, sf_dir):
+    """Spatial rebalancing of training data: cap every res-6 tile at 8
+    images (keep-lowest-id, deterministic) — the anti-skew sampling
+    step that stops hot regions (cities, the generator's hot discs)
+    from dominating a geo-distributed training set.  Implemented as a
+    SALTED TWO-PHASE top-K, not a per-tile window sort: phase 1
+    groups by (tile, pmod(xxhash64(id), 32)) and keeps each salt
+    group's sorted top-8, phase 2 merges the <= 32*8 candidates per
+    tile — the 441-image hot tile splits across 32 salt groups, so no
+    single task ever sorts a whole hot tile and the plan survives a
+    hot cell at any scale (a window row_number() <= k would move each
+    tile to ONE partition).  Output: overflowing tiles only, with the
+    kept id list pinned (array_join) so the hash gate proves the
+    two-phase merge equals the oracle's plain window ranking."""
+    from geographiclib_go_spark.sources import images as im
+    cap, salt = 8, 32
+    idx = im.generate_image_index(spark, _IMG_QUERY_N)
+    tiled = tiling.assign_tiles(idx, 6).select("tile_id", "image_id")
+    part = (tiled
+            .withColumn("_s", F.pmod(F.xxhash64("image_id"),
+                                     F.lit(salt)))
+            .groupBy("tile_id", "_s")
+            .agg(F.count("*").alias("cnt"),
+                 F.slice(F.sort_array(F.collect_list("image_id")),
+                         1, cap).alias("cand")))
+    return (part.groupBy("tile_id")
+            .agg(F.sum("cnt").cast("long").alias("n_total"),
+                 F.slice(F.sort_array(F.flatten(
+                     F.collect_list("cand"))), 1, cap).alias("keep"))
+            .filter(F.col("n_total") > cap)
+            .select("tile_id", "n_total",
+                    F.size("keep").cast("long").alias("n_kept"),
+                    F.array_join("keep", ",").alias("kept_ids"))
+            .orderBy("tile_id"))
 
 
 def image_resize_stats(spark, sf_dir):
@@ -3624,6 +3741,43 @@ ORACLE_SQL["image_phash_near_dup"] = """
 # closure over the SAME pair set the banded joins produce — an
 # algorithm-independent check of the large/small-star fixpoint
 # (operators/components.py).
+ORACLE_SQL["doc_decontaminate"] = cps.decontaminate_oracle_sql()
+ORACLE_SQL["doc_repetition_filter"] = cps.repetition_oracle_sql()
+ORACLE_SQL["doc_substring_dedup"] = cps.substring_dedup_oracle_sql()
+ORACLE_SQL["doc_domain_mix"] = cps.domain_mix_oracle_sql()
+ORACLE_SQL["doc_bm25_topk"] = cps.bm25_oracle_sql()
+
+ORACLE_SQL["image_caption_conflict"] = """
+    SELECT p.phash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(DISTINCT i.caption) AS BIGINT) AS n_captions,
+           MIN(i.caption) AS first_caption
+    FROM '{fix}/images_phash.parquet' p
+    JOIN '{fix}/images_invariants.parquet' i USING (image_id)
+    GROUP BY p.phash
+    HAVING COUNT(DISTINCT i.caption) > 1
+    ORDER BY p.phash
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_tile_rebalance"] = """
+    WITH t AS (
+      SELECT tile_id, image_id,
+             ROW_NUMBER() OVER (PARTITION BY tile_id
+                                ORDER BY image_id) AS rn,
+             COUNT(*) OVER (PARTITION BY tile_id) AS n_tile
+      FROM '{fix}/images_tiles.parquet')
+    SELECT tile_id,
+           CAST(MAX(n_tile) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           STRING_AGG(CASE WHEN rn <= 8 THEN image_id END, ','
+                      ORDER BY image_id) AS kept_ids
+    FROM t
+    GROUP BY tile_id
+    HAVING MAX(n_tile) > 8
+    ORDER BY tile_id
+""".format(fix=_FIXTURE_DIR)
+
 ORACLE_SQL["image_dup_components"] = """
     WITH RECURSIVE
     d AS (SELECT DISTINCT phash FROM '{fix}/images_phash.parquet'),

@@ -313,6 +313,10 @@ INDEX_SCHEMA = T.StructType([
     T.StructField("lon", T.DoubleType(), False),
 ])
 
+INDEX_CAPTION_SCHEMA = T.StructType(
+    INDEX_SCHEMA.fields
+    + [T.StructField("caption", T.StringType(), False)])
+
 
 def generate_placements(spark: SparkSession, n: int,
                         partitions: int = None) -> DataFrame:
@@ -346,7 +350,8 @@ def generate_placements(spark: SparkSession, n: int,
 
 def generate_image_index(spark: SparkSession, n: int, skew_pct: int = 3,
                          sizes=(16, 32), lossy_pct: int = 30,
-                         partitions: int = None) -> DataFrame:
+                         partitions: int = None,
+                         with_caption: bool = False) -> DataFrame:
     """The images table WITHOUT the bytes column — hand-rolled
     projection pushdown for the generator source.  Catalyst cannot
     prune columns INSIDE a mapInPandas source (the same blind spot
@@ -368,16 +373,20 @@ def generate_image_index(spark: SparkSession, n: int, skew_pct: int = 3,
             lossy = (splitmix64(ids ^ np.uint64(13))
                      % np.uint64(100)) < np.uint64(lossy_pct)
             lat, lon = latlon_for_ids(ids, ph, skew_pct)
-            yield pd.DataFrame({
+            row = {
                 "image_id": [f"img_{int(i):012d}" for i in ids],
                 "fmt": np.where(lossy, "jpeg-sim", "ppm"),
                 "phash": ph,
                 "lat": lat,
                 "lon": lon,
-            })
+            }
+            if with_caption:
+                row["caption"] = _caption_for(ids, lat, lon)
+            yield pd.DataFrame(row)
 
     return (spark.range(0, n, 1, partitions)
-            .mapInPandas(gen, INDEX_SCHEMA))
+            .mapInPandas(gen, INDEX_CAPTION_SCHEMA if with_caption
+                         else INDEX_SCHEMA))
 
 
 def generate_images(spark: SparkSession, n: int, skew_pct: int = 3,
