@@ -69,29 +69,46 @@ g AS (SELECT doc_id, source,
 """
 
 
+def eval_grams(docs: DataFrame,
+               ngram: int = DECON_NGRAM,
+               eval_mod: int = DECON_EVAL_MOD) -> DataFrame:
+    """The decontamination ARTIFACT: distinct `ngram`-token windows of
+    the held-out eval slice (doc_id % eval_mod == 0).  Built once per
+    eval-suite fingerprint and persisted as a lineage snapshot — the
+    probe side (batch query or ingest stream) reads the committed
+    parquet and never re-reads eval text."""
+    tok = _tokens()
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    return (docs.filter(is_eval)
+            .select(F.explode(ngram_col(tok, ngram)).alias("gram"))
+            .distinct())
+
+
 def decontaminate(docs: DataFrame,
                   ngram: int = DECON_NGRAM,
-                  eval_mod: int = DECON_EVAL_MOD) -> DataFrame:
+                  eval_mod: int = DECON_EVAL_MOD,
+                  eval_gram_df: DataFrame = None) -> DataFrame:
     """Benchmark decontamination: flag every training document that
     shares at least one `ngram`-token contiguous window with any
     held-out eval document (doc_id % eval_mod == 0 plays the eval
     suite).  Returns per-source (n_train, n_dirty).
 
     100 TB shape: the eval suite is tiny relative to the corpus, so
-    its distinct n-grams BROADCAST; the train side is a map-only
-    explode + broadcast LEFT SEMI probe, and only matching rows (the
-    contamination mass, by construction rare) reach the doc_id
-    distinct + per-source aggregate exchanges.  No corpus-side
-    self-join anywhere.
+    its distinct n-grams BROADCAST (pass the persisted snapshot as
+    eval_gram_df — see eval_grams — so repeated ingest runs never
+    recompute it); the train side is a map-only explode + broadcast
+    LEFT SEMI probe, and only matching rows (the contamination mass,
+    by construction rare) reach the doc_id distinct + per-source
+    aggregate exchanges.  No corpus-side self-join anywhere.
     """
+    if eval_gram_df is None:
+        eval_gram_df = eval_grams(docs, ngram, eval_mod)
     tok = _tokens()
-    g = (docs
-         .select("doc_id", "source",
-                 F.explode(ngram_col(tok, ngram)).alias("gram")))
     is_eval = (F.col("doc_id") % eval_mod) == 0
-    eval_grams = g.filter(is_eval).select("gram").distinct()
-    dirty = (g.filter(~is_eval)
-             .join(F.broadcast(eval_grams), "gram", "left_semi")
+    g = (docs.filter(~is_eval)
+         .select("doc_id",
+                 F.explode(ngram_col(tok, ngram)).alias("gram")))
+    dirty = (g.join(F.broadcast(eval_gram_df), "gram", "left_semi")
              .select("doc_id").distinct()
              .withColumn("_dirty", F.lit(1)))
     train = docs.filter((F.col("doc_id") % eval_mod) != 0) \

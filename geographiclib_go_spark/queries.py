@@ -1345,10 +1345,20 @@ def doc_decontaminate(spark, sf_dir):
     n-gram set broadcasts (benchmarks are tiny next to a 100 TB
     corpus); the train side is map-only explode + broadcast semi-join,
     so the only real exchanges are bounded by the contamination mass.
+    The eval n-gram set is the WRITE-ONCE artifact: persisted through
+    plans/lineage.run_stage keyed by (dataset, width, modulus), so a
+    rerun probes the committed snapshot and never re-reads eval text
+    (the same contract as the incremental-dedup corpus index).
     Oracle: DuckDB replays the identical window/join/aggregate chain
     (corpus.decontaminate_oracle_sql — constants shared)."""
+    from geographiclib_go_spark.plans import lineage as lin
     docs = _t_spread(spark, sf_dir, "documents")
-    return cps.decontaminate(docs)
+    fp = (f"{os.path.abspath(sf_dir)}|decon_n{cps.DECON_NGRAM}"
+          f"m{cps.DECON_EVAL_MOD}")
+    grams = lin.run_stage(
+        spark, _dedup_store_root(), "decon_eval_grams",
+        lambda: cps.eval_grams(docs), input_fingerprint=fp)
+    return cps.decontaminate(docs, eval_gram_df=grams)
 
 
 def doc_repetition_filter(spark, sf_dir):

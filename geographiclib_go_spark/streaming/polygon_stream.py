@@ -493,3 +493,30 @@ def streaming_pq_near_dup_events(vec_stream: DataFrame,
     return (j.select("qid", F.col("vid").alias("vec_id"),
                      pq._adc(m).alias("adc"))
             .filter(F.col("adc") <= max_adc))
+
+
+def streaming_decontaminate_events(doc_stream: DataFrame,
+                                   eval_gram_df: DataFrame,
+                                   ngram: int = None,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id") -> DataFrame:
+    """Streaming ingest-time decontamination — the readStream face of
+    queries.doc_decontaminate: every arriving document's n-token
+    windows probe the PERSISTED eval-suite n-gram snapshot
+    (corpus.eval_grams via plans/lineage — the write-once artifact)
+    with a stream-static broadcast semi-join.  Emits one event per
+    contaminated (doc_id, gram) hit; docs with no event are clean —
+    absence is the consumer's fold, exactly like the ingest-dedup
+    event streams (a stateful per-doc distinct would buy no recall
+    for unbounded state).  Stateless map-only chain + stream-static
+    join: append-safe, no watermark needed.  Batch parity is
+    pytest-gated."""
+    from geographiclib_go_spark.operators import corpus as cp
+
+    n = ngram or cp.DECON_NGRAM
+    tok = F.split(F.trim(F.col(text_col)), " ")
+    g = doc_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(cp.ngram_col(tok, n)).alias("gram"))
+    return g.join(F.broadcast(eval_gram_df), "gram", "inner") \
+        .select("doc_id", "gram")

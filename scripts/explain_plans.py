@@ -351,6 +351,34 @@ def main():
         "Zero Exchange nodes before the ORDER BY.",
         formatted(Q.video_frame_sample(spark, sf))))
 
+    sections.append((
+        "doc_decontaminate (eval-suite broadcast semi-join)",
+        "The eval slice's distinct n-grams BROADCAST (benchmarks are "
+        "tiny next to the corpus); the train side is Generate "
+        "(explode) -> BroadcastHashJoin LeftSemi with NO shuffle of "
+        "train n-grams.  Only matching rows (the contamination mass) "
+        "reach the doc_id distinct; the per-source rollup is the "
+        "final pair of HashAggregate exchanges.",
+        formatted(Q.doc_decontaminate(spark, sf))))
+
+    sections.append((
+        "doc_bm25_topk (map-only scoring + TakeOrdered)",
+        "tf per term is a higher-order array filter inside Project — "
+        "no Generate, no per-token shuffle.  The 1-row corpus stats "
+        "broadcast back (BroadcastNestedLoopJoin of a single row) and "
+        "the result is TakeOrderedAndProject: the whole 10^12-doc "
+        "scoring pass is one scan.",
+        formatted(Q.doc_bm25_topk(spark, sf))))
+
+    sections.append((
+        "image_tile_rebalance (salted two-phase top-K)",
+        "Check the TWO ObjectHashAggregate exchange pairs: phase 1 "
+        "keys on (tile, pmod(xxhash64(id), 32)) and keeps each salt "
+        "group's sorted top-8; phase 2 merges <= 32*8 candidates per "
+        "tile.  No window over tile_id anywhere — a hot tile is never "
+        "sorted in a single task.",
+        formatted(Q.image_tile_rebalance(spark, sf))))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "

@@ -169,3 +169,81 @@ def test_image_caption_conflict_counts(spark):
                         r["first_caption"])
            for r in Q.image_caption_conflict(spark, None).collect()}
     assert got == want
+
+
+def test_decon_eval_grams_persisted_and_probed(spark, tmp_path,
+                                               monkeypatch):
+    """doc_decontaminate writes the eval n-gram snapshot once per
+    fingerprint and probes the committed parquet on reruns: the
+    second call must not rebuild the gram set, must keep one snapshot
+    version, and must return identical rows."""
+    from geographiclib_go_spark import queries as Q
+    from geographiclib_go_spark.plans import lineage as lin
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE", str(tmp_path))
+    calls = []
+    real = cp.eval_grams
+
+    def spy(docs, *a, **kw):
+        calls.append(1)
+        return real(docs, *a, **kw)
+
+    monkeypatch.setattr(cp, "eval_grams", spy)
+
+    first = Q.doc_decontaminate(spark, SF_DIR).collect()
+    assert calls == [1]
+    hist1 = lin.snapshot_history(str(tmp_path), "decon_eval_grams")
+    assert len(hist1) == 1
+
+    second = Q.doc_decontaminate(spark, SF_DIR).collect()
+    assert calls == [1]                  # resume: no rebuild
+    hist2 = lin.snapshot_history(str(tmp_path), "decon_eval_grams")
+    assert len(hist2) == 1 and hist2[0]["version"] == hist1[0]["version"]
+    assert first == second
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """streaming_decontaminate_events probing the SAME persisted eval
+    n-gram artifact must flag exactly the dirty docs the batch
+    operator (and the pure-python brute force) flags."""
+    from geographiclib_go_spark.streaming import polygon_stream as ps
+
+    pdf = _docs_pdf(spark, SF_DIR)
+    eval_grams = set()
+    for _, r in pdf[pdf.doc_id % cp.DECON_EVAL_MOD == 0].iterrows():
+        eval_grams.update(_grams(r.text, cp.DECON_NGRAM))
+    want_dirty = {
+        int(r.doc_id)
+        for _, r in pdf[pdf.doc_id % cp.DECON_EVAL_MOD != 0].iterrows()
+        if any(g in eval_grams for g in _grams(r.text, cp.DECON_NGRAM))}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    grams_path = str(tmp_path / "eval_grams")
+    cp.eval_grams(docs).write.parquet(grams_path)
+    grams = spark.read.parquet(grams_path)
+
+    # train docs arrive as two micro-batches
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    train = pdf[pdf.doc_id % cp.DECON_EVAL_MOD != 0][
+        ["doc_id", "text"]].reset_index(drop=True)
+    half = len(train) // 2
+    spark.createDataFrame(train.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    spark.createDataFrame(train.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    out = ps.streaming_decontaminate_events(stream, grams)
+    q = (out.writeStream.format("memory").queryName("decon_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM decon_events").toPandas()
+    finally:
+        q.stop()
+    assert set(ev.doc_id) == want_dirty
+    assert len(want_dirty) > 0
+    # every emitted gram really is an eval-suite gram
+    assert set(ev.gram) <= eval_grams
