@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": Q.doc_bm25_topk,  # new in r4
         "image_caption_conflict": Q.image_caption_conflict,  # new in r4
         "image_tile_rebalance": Q.image_tile_rebalance,  # new in r4
+        "doc_regex_scrub": Q.doc_regex_scrub,  # new late-r4
+        "emb_quality_gate": Q.emb_quality_gate,  # new late-r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,

@@ -372,3 +372,60 @@ FROM d CROSS JOIN s
 ORDER BY score_r DESC, d.doc_id
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Regex scrubbing (PII-shaped redaction).  Real corpora scrub
+# emails/phones/keys before training; the synthetic corpus has no
+# digits, so the shipped pattern targets a vocabulary bigram ("key
+# <word>") to keep the gate non-trivial — the plumbing (count, global
+# replace, length accounting) is exactly the PII pass, and both the
+# pattern and replacement are shared constants so queries.py and the
+# DuckDB twin cannot drift.  Pattern stays inside the Java-regex /
+# RE2 common subset (char classes, +, literal space): identical
+# non-overlapping leftmost-match semantics on both engines.
+# --------------------------------------------------------------------------
+
+SCRUB_PATTERN = "key [a-z]+"
+SCRUB_REPL = "<REDACTED>"
+
+
+def regex_scrub(docs: DataFrame) -> DataFrame:
+    """Per-source redaction audit: n_docs, docs hit, total matches,
+    and the exact char delta after global replacement.  Pure JVM
+    regexp codegen, map-only until the tiny per-source aggregate —
+    one scan at any scale."""
+    hits = F.regexp_count(F.col("text"), F.lit(SCRUB_PATTERN))
+    red = F.regexp_replace("text", SCRUB_PATTERN, SCRUB_REPL)
+    base = docs.select(
+        "source", hits.alias("n_hits"),
+        (F.length("text") - F.length(red)).cast("long").alias("delta"))
+    return (base.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_hit_docs"),
+                 F.sum("n_hits").cast("long").alias("n_matches"),
+                 F.sum("delta").cast("long").alias("chars_delta"))
+            .orderBy("source"))
+
+
+def regex_scrub_oracle_sql() -> str:
+    """DuckDB twin of regex_scrub — same pattern/replacement constants,
+    LEN(regexp_extract_all) for the count, 'g' flag for the global
+    replace Spark applies by default."""
+    return f"""
+        WITH s AS (
+            SELECT source,
+                   LEN(regexp_extract_all(text,
+                       '{SCRUB_PATTERN}')) AS n_hits,
+                   LENGTH(text) - LENGTH(regexp_replace(text,
+                       '{SCRUB_PATTERN}', '{SCRUB_REPL}', 'g')) AS delta
+            FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit_docs,
+               CAST(SUM(n_hits) AS BIGINT) AS n_matches,
+               CAST(SUM(delta) AS BIGINT) AS chars_delta
+        FROM s GROUP BY source ORDER BY source
+    """

@@ -234,3 +234,77 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
            .filter(F.col("cosine") >= threshold)
            .select("id_a", "id_b", "cosine"))
     return out
+
+
+# --------------------------------------------------------------------------
+# Embedding quality gate — the vector-QA pass a training pipeline runs
+# before any ANN index is built: malformed rows (norm drift from the
+# expected unit sphere, spiky dominant dimensions) are counted out per
+# label so a bad embedding batch is caught BEFORE it poisons an index.
+# Integer-quantized (the emb_kmeans discipline, QSCALE-compatible) so
+# every statistic is an exact BIGINT both engines reproduce — float
+# norms would diverge by summation order.
+# --------------------------------------------------------------------------
+
+QGATE_SCALE = 1_000_000          # quantizer: q = round(x * SCALE)
+QGATE_NORM_TOL = 1_000_000       # |q.q - SCALE^2| <= TOL -> unit-norm ok
+QGATE_SPIKE = 400_000            # max|q| >= SPIKE -> dominant-dim flag
+
+
+def quality_gate(emb: DataFrame, vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """Per-label embedding QA: n_vecs, how many pass the unit-norm
+    tolerance, how many carry a spiky dimension, plus exact BIGINT
+    norm/spike witnesses (min/max quantized squared norm, max |q|).
+    Map-only until the per-label aggregate — at 100 TB this is one
+    scan with a partial-agg shuffle on a tiny key space."""
+    unit = QGATE_SCALE * QGATE_SCALE
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * QGATE_SCALE).cast("long"))
+    base = emb.select(F.col(label_col).cast("long").alias("label"),
+                      q.alias("_q"))
+    n2 = F.aggregate(F.col("_q"), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    qmax = F.array_max(F.transform(F.col("_q"), F.abs))
+    st = base.select("label", n2.alias("n2"), qmax.alias("qmax"))
+    return (st.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.sum(F.when(F.abs(F.col("n2") - unit)
+                              <= QGATE_NORM_TOL, 1).otherwise(0))
+                 .cast("long").alias("n_norm_ok"),
+                 F.sum(F.when(F.col("qmax") >= QGATE_SPIKE, 1)
+                       .otherwise(0)).cast("long").alias("n_spiky"),
+                 F.min("n2").alias("min_n2"),
+                 F.max("n2").alias("max_n2"),
+                 F.max("qmax").alias("max_qabs"))
+            .orderBy("label"))
+
+
+def quality_gate_oracle_sql() -> str:
+    """DuckDB twin of quality_gate — identical quantizer, thresholds
+    baked from the same module constants."""
+    unit = QGATE_SCALE * QGATE_SCALE
+    return f"""
+        WITH e AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(ROUND(x * {QGATE_SCALE}) AS BIGINT)) AS q
+            FROM embeddings),
+        s AS (
+            SELECT label,
+                   CAST(list_sum(list_transform(q, x -> x * x))
+                        AS BIGINT) AS n2,
+                   CAST(list_max(list_transform(q, x -> ABS(x)))
+                        AS BIGINT) AS qmax
+            FROM e)
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN ABS(n2 - {unit}) <= {QGATE_NORM_TOL}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_ok,
+               CAST(SUM(CASE WHEN qmax >= {QGATE_SPIKE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_spiky,
+               MIN(n2) AS min_n2,
+               MAX(n2) AS max_n2,
+               MAX(qmax) AS max_qabs
+        FROM s GROUP BY label ORDER BY label
+    """

@@ -1403,6 +1403,32 @@ def doc_bm25_topk(spark, sf_dir):
     return cps.bm25_topk(docs)
 
 
+def doc_regex_scrub(spark, sf_dir):
+    """PII-shaped regex redaction audit (operators/corpus.py): count
+    and globally replace the scrub pattern per document, roll up
+    n_docs / hit docs / total matches / exact char delta per source.
+    Pure JVM regexp codegen — map-only until the tiny per-source
+    aggregate, one scan at any corpus scale.  The pattern targets the
+    synthetic vocabulary (the corpus has no digits) so the gate is
+    non-trivial; pattern + replacement are module constants shared
+    with the DuckDB twin (corpus.regex_scrub_oracle_sql)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return cps.regex_scrub(docs)
+
+
+def emb_quality_gate(spark, sf_dir):
+    """Embedding QA gate (operators/similarity.py): per-label counts
+    of unit-norm-tolerant and spiky-dimension vectors plus exact
+    BIGINT norm witnesses, integer-quantized with the emb_kmeans
+    discipline so every value is bit-identical cross-engine.  This is
+    the pass a pipeline runs BEFORE building an ANN index — a
+    malformed embedding batch shows up as n_norm_ok < n_vecs here
+    instead of as silent recall loss later.  Map-only + one tiny
+    partial-agg shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quality_gate(emb)
+
+
 def doc_fingerprints(spark, sf_dir):
     """Per-document rolling min-hash fingerprint, every value
     SQL-verified (sketch_hash.fingerprint_oracle_sql)."""
@@ -3756,6 +3782,8 @@ ORACLE_SQL["doc_repetition_filter"] = cps.repetition_oracle_sql()
 ORACLE_SQL["doc_substring_dedup"] = cps.substring_dedup_oracle_sql()
 ORACLE_SQL["doc_domain_mix"] = cps.domain_mix_oracle_sql()
 ORACLE_SQL["doc_bm25_topk"] = cps.bm25_oracle_sql()
+ORACLE_SQL["doc_regex_scrub"] = cps.regex_scrub_oracle_sql()
+ORACLE_SQL["emb_quality_gate"] = sim.quality_gate_oracle_sql()
 
 ORACLE_SQL["image_caption_conflict"] = """
     SELECT p.phash,

@@ -247,3 +247,23 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert len(want_dirty) > 0
     # every emitted gram really is an eval-suite gram
     assert set(ev.gram) <= eval_grams
+
+
+def test_regex_scrub_matches_python_re(spark, sf_dir):
+    import re
+    pat = re.compile(cp.SCRUB_PATTERN)
+    pdf = _docs_pdf(spark, sf_dir)
+    want = {}
+    for _, r in pdf.iterrows():
+        hits = pat.findall(r.text)
+        red = pat.sub(cp.SCRUB_REPL, r.text)
+        n_docs, n_hit, n_m, delta = want.get(r.source, (0, 0, 0, 0))
+        want[r.source] = (n_docs + 1, n_hit + (len(hits) > 0),
+                          n_m + len(hits),
+                          delta + len(r.text) - len(red))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: (r["n_docs"], r["n_hit_docs"], r["n_matches"],
+                         r["chars_delta"])
+           for r in cp.regex_scrub(docs).collect()}
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0  # gate is non-trivial

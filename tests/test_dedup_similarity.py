@@ -609,3 +609,32 @@ def test_images_placements_fixture_matches_spark_generator(spark,
         assert np.array_equal(fresh[col].to_numpy(),
                               com[col].to_numpy()), col
     assert list(fresh.image_id) == list(com.image_id)
+
+
+def test_emb_quality_gate_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from geographiclib_go_spark.operators import similarity as sim
+    pdf = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("label", "embedding").toPandas())
+    unit = sim.QGATE_SCALE * sim.QGATE_SCALE
+    want = {}
+    for _, r in pdf.iterrows():
+        x = np.asarray(r.embedding, dtype=np.float64) * sim.QGATE_SCALE
+        # Spark round() / DuckDB ROUND: half away from zero (np.rint
+        # would tie to even)
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        n2 = int((q * q).sum())
+        qmax = int(np.abs(q).max())
+        st = want.setdefault(int(r.label),
+                             [0, 0, 0, None, None, 0])
+        st[0] += 1
+        st[1] += int(abs(n2 - unit) <= sim.QGATE_NORM_TOL)
+        st[2] += int(qmax >= sim.QGATE_SPIKE)
+        st[3] = n2 if st[3] is None else min(st[3], n2)
+        st[4] = n2 if st[4] is None else max(st[4], n2)
+        st[5] = max(st[5], qmax)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["label"]: [r["n_vecs"], r["n_norm_ok"], r["n_spiky"],
+                        r["min_n2"], r["max_n2"], r["max_qabs"]]
+           for r in sim.quality_gate(emb).collect()}
+    assert got == want
