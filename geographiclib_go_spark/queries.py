@@ -1745,6 +1745,42 @@ def image_dup_components(spark, sf_dir):
             .orderBy("component_id"))
 
 
+def image_near_dup_keep_best(spark, sf_dir):
+    """Canonical selection AFTER near-dup clustering — the decision a
+    multimodal pipeline actually ships: within each Hamming cluster
+    keep the HIGHEST-RESOLUTION image (max decoded pixel count,
+    ties to the lowest id), not just any survivor.  Cluster labels
+    come from the same banded-pairs -> connected-components chain as
+    image_dup_components; the argmax is ONE aggregate via
+    min(struct(-npx, image_id)) — no per-cluster window sort, so a
+    hot cluster never serializes into a single task.  The index path
+    carries npx (3*w*h) from the shared size chain, so no bytes are
+    read.  Oracle: recursive-CTE min-label closure over the pinned
+    phash fixture joined to the invariants fixture's n_px, ROW_NUMBER
+    keep-best — two unrelated CC algorithms AND two unrelated argmax
+    strategies agreeing on every survivor."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_image_index(spark, _IMG_QUERY_N, with_size=True)
+    sigs = imgs.select("phash").distinct()
+    pairs = ded.hamming_band_pairs(sigs, sig_col="phash",
+                                   id_col="phash", max_hamming=4)
+    comp = cc.connected_components(pairs)
+    lab = (sigs.join(comp, sigs.phash == comp.id, "left")
+           .select(sigs.phash,
+                   F.coalesce("component_id", "phash")
+                   .alias("component_id")))
+    best = F.min(F.struct((-F.col("npx")).alias("_n"),
+                          F.col("image_id").alias("_id")))
+    return (imgs.join(lab, "phash")
+            .groupBy("component_id")
+            .agg(F.count("*").cast("long").alias("n_images"),
+                 best.alias("_b"))
+            .select("component_id", "n_images",
+                    F.col("_b._id").alias("best_id"),
+                    (-F.col("_b._n")).cast("long").alias("best_npx"))
+            .orderBy("component_id"))
+
+
 def images_clean_pipeline(spark, sf_dir):
     """End-to-end image-corpus prep, every decision hash-gated: the
     generated image+caption table goes through (1) EXACT dedup —
@@ -3843,6 +3879,44 @@ ORACLE_SQL["image_dup_components"] = """
     JOIN tot t ON i.phash = t.phash
     GROUP BY t.component_id
     ORDER BY t.component_id
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_near_dup_keep_best"] = """
+    WITH RECURSIVE
+    d AS (SELECT DISTINCT phash FROM '{fix}/images_phash.parquet'),
+    p AS (SELECT a.phash AS id_a, b.phash AS id_b
+          FROM d a, d b
+          WHERE a.phash < b.phash
+            AND bit_count(xor(a.phash, b.phash)) <= 4),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, l) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+        UNION
+        SELECT e.u, r.l FROM e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS phash, MIN(l) AS component_id
+            FROM reach GROUP BY u),
+    tot AS (SELECT d.phash,
+                   COALESCE(lab.component_id, d.phash) AS component_id
+            FROM d LEFT JOIN lab ON d.phash = lab.phash),
+    m AS (SELECT t.component_id, i.image_id, inv.n_px
+          FROM '{fix}/images_phash.parquet' i
+          JOIN tot t ON i.phash = t.phash
+          JOIN '{fix}/images_invariants.parquet' inv
+            ON inv.image_id = i.image_id),
+    r AS (SELECT component_id, image_id, n_px,
+                 ROW_NUMBER() OVER (PARTITION BY component_id
+                     ORDER BY n_px DESC, image_id ASC) AS rn
+          FROM m),
+    g AS (SELECT component_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_images
+          FROM m GROUP BY component_id)
+    SELECT g.component_id, g.n_images,
+           r.image_id AS best_id,
+           CAST(r.n_px AS BIGINT) AS best_npx
+    FROM g JOIN r ON g.component_id = r.component_id AND r.rn = 1
+    ORDER BY g.component_id
 """.format(fix=_FIXTURE_DIR)
 
 # Geohash oracle: identical quantize -> spread -> interleave ->

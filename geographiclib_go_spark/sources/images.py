@@ -351,7 +351,8 @@ def generate_placements(spark: SparkSession, n: int,
 def generate_image_index(spark: SparkSession, n: int, skew_pct: int = 3,
                          sizes=(16, 32), lossy_pct: int = 30,
                          partitions: int = None,
-                         with_caption: bool = False) -> DataFrame:
+                         with_caption: bool = False,
+                         with_size: bool = False) -> DataFrame:
     """The images table WITHOUT the bytes column — hand-rolled
     projection pushdown for the generator source.  Catalyst cannot
     prune columns INSIDE a mapInPandas source (the same blind spot
@@ -382,11 +383,21 @@ def generate_image_index(spark: SparkSession, n: int, skew_pct: int = 3,
             }
             if with_caption:
                 row["caption"] = _caption_for(ids, lat, lon)
+            if with_size:
+                # same size chain as generate_images /
+                # row_invariants_for_ids: splitmix64(id ^ 7) picks wh
+                size_pick = (splitmix64(ids ^ np.uint64(7))
+                             % np.uint64(len(sizes))).astype(np.int64)
+                wh = np.asarray(sizes, np.int64)[size_pick]
+                row["npx"] = 3 * wh * wh
             yield pd.DataFrame(row)
 
+    schema = INDEX_CAPTION_SCHEMA if with_caption else INDEX_SCHEMA
+    if with_size:
+        schema = T.StructType(
+            schema.fields + [T.StructField("npx", T.LongType(), False)])
     return (spark.range(0, n, 1, partitions)
-            .mapInPandas(gen, INDEX_CAPTION_SCHEMA if with_caption
-                         else INDEX_SCHEMA))
+            .mapInPandas(gen, schema))
 
 
 def generate_images(spark: SparkSession, n: int, skew_pct: int = 3,

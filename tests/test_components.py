@@ -141,3 +141,50 @@ def test_image_dup_components_consistent_with_pairs(spark, sf_dir):
     for node, label in lab.items():
         assert label <= node
         assert lab[label] == label
+
+
+def test_image_near_dup_keep_best_vs_union_find(spark, sf_dir):
+    """Independent python union-find + argmax over the pinned fixtures
+    must reproduce every (cluster, survivor) the distributed
+    min(struct) aggregation picks."""
+    import numpy as np
+    import pandas as pd
+    from geographiclib_go_spark import queries as Q
+
+    fix = Q._FIXTURE_DIR
+    ph = pd.read_parquet(f"{fix}/images_phash.parquet")
+    inv = pd.read_parquet(f"{fix}/images_invariants.parquet")
+    npx = dict(zip(inv.image_id, inv.n_px))
+
+    sig = np.unique(ph.phash.to_numpy(np.int64))
+    parent = {int(s): int(s) for s in sig}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    xor = sig[:, None] ^ sig[None, :]
+    # popcount via uint8 view + unpackbits (vectorized)
+    u8 = xor.astype(np.uint64).view(np.uint8).reshape(len(sig),
+                                                      len(sig), 8)
+    hd = np.unpackbits(u8, axis=2).sum(axis=2)
+    ia, ib = np.where((hd <= 4) & (sig[:, None] < sig[None, :]))
+    for a, b in zip(sig[ia], sig[ib]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label convention: canonical = min member
+    want = {}
+    for _, r in ph.iterrows():
+        cid = find(int(r.phash))
+        st = want.setdefault(cid, [0, None])
+        st[0] += 1
+        key = (-npx[r.image_id], r.image_id)
+        if st[1] is None or key < st[1]:
+            st[1] = key
+    got = {int(r["component_id"]):
+           [int(r["n_images"]), (-int(r["best_npx"]), r["best_id"])]
+           for r in Q.image_near_dup_keep_best(spark, sf_dir).collect()}
+    assert got == want
