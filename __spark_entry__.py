@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_regex_scrub": Q.doc_regex_scrub,  # new late-r4
         "emb_quality_gate": Q.emb_quality_gate,  # new late-r4
         "image_near_dup_keep_best": Q.image_near_dup_keep_best,  # late-r4
+        "image_augment_flip": Q.image_augment_flip,  # new late-r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,

@@ -122,7 +122,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "doc_substring_dedup", "doc_domain_mix", "doc_bm25_topk",
         "doc_regex_scrub", "emb_quality_gate",
         "image_caption_conflict", "image_tile_rebalance",
-        "image_near_dup_keep_best",
+        "image_near_dup_keep_best", "image_augment_flip",
     ]
     for name in headline:
         fn = getattr(Q, name)

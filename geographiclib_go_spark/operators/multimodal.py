@@ -318,3 +318,78 @@ def ppm_pixel_stats(frames: DataFrame, id_cols: list) -> DataFrame:
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, schema)
+
+
+def flip_images(images: DataFrame) -> DataFrame:
+    """Horizontal-mirror augmentation, re-encoded as PPM — the
+    cheapest label-preserving image augmentation a vision training
+    pipeline applies.  Same binary->binary shape as resize_images:
+    decode, transform, encode inside one Arrow batch, map-only."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ])
+    cols = images.select("image_id", "bytes", "fmt")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h",
+                                    "fmt")}
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                try:
+                    pix = im.decode_image(bytes(data), fmt)
+                except NotImplementedError:
+                    rows["image_id"].append(iid)
+                    rows["bytes"].append(None)
+                    rows["w"].append(0)
+                    rows["h"].append(0)
+                    rows["fmt"].append("ppm")
+                    continue
+                h, w = pix.shape[:2]
+                rows["image_id"].append(iid)
+                rows["bytes"].append(im.ppm_encode(pix[:, ::-1]))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append("ppm")
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, schema)
+
+
+def ppm_weighted_stats(frames: DataFrame, id_cols: list) -> DataFrame:
+    """(id_cols..., w, h, wsum): column-position-weighted exact int64
+    checksum wsum = sum(pix[y,x,c] * (x+1)) of every PPM payload.
+    Unlike a plain pixel sum this is NOT mirror-invariant, so it pins
+    the flip transform's actual pixel movement, not just conservation
+    of mass.  Appended to the producer's map-only chain."""
+    fields = [frames.schema[c] for c in id_cols]
+    schema = T.StructType(fields + [
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("wsum", T.LongType(), False),
+    ])
+    cols = frames.select(*id_cols, "bytes")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            ws = np.zeros(nb, np.int32)
+            hs = np.zeros(nb, np.int32)
+            ss = np.zeros(nb, np.int64)
+            for t in range(nb):
+                pix = im.ppm_decode(bytes(pdf["bytes"].iloc[t]))
+                hs[t], ws[t] = pix.shape[:2]
+                wgt = np.arange(1, pix.shape[1] + 1,
+                                dtype=np.int64)[None, :, None]
+                ss[t] = (pix.astype(np.int64) * wgt).sum()
+            out = {c: pdf[c] for c in id_cols}
+            out.update({"w": ws, "h": hs, "wsum": ss})
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema)

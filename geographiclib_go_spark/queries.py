@@ -1667,6 +1667,27 @@ def image_resize_stats(spark, sf_dir):
             .orderBy("image_id"))
 
 
+def image_augment_flip(spark, sf_dir):
+    """Horizontal-flip augmentation under the hash gate: every image
+    is codec-decoded, mirrored along x, re-encoded as PPM
+    (multimodal.flip_images), then the flipped payload is decoded
+    AGAIN and its column-position-WEIGHTED checksum emitted —
+    sum(pix[y,x,c] * (x+1)), which a plain pixel sum could not pin
+    (flipping conserves mass; the weight makes the gate sensitive to
+    the actual pixel movement).  Plan shape: generate -> flip ->
+    stats is map-only end to end, zero shuffles — the canonical
+    augmentation-stage shape at 10^12 images.  Oracle: the pinned
+    numpy replay of stored-pixels-mirrored-then-weighted
+    (images_flipped.parquet, images.flipped_wsums_for_ids)."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    flipped = mm.flip_images(imgs)
+    return (mm.ppm_weighted_stats(flipped, ["image_id"])
+            .select("image_id", "w", "h", "wsum")
+            .orderBy("image_id"))
+
+
 _CORRIDOR_M = 400e3
 _CORRIDOR_RES = 6
 
@@ -3710,6 +3731,12 @@ ORACLE_SQL["image_resize_stats"] = """
     SELECT image_id, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
            pix_sum
     FROM '{fix}/images_resized.parquet'
+    ORDER BY image_id
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_augment_flip"] = """
+    SELECT image_id, w, h, wsum
+    FROM '{fix}/images_flipped.parquet'
     ORDER BY image_id
 """.format(fix=_FIXTURE_DIR)
 

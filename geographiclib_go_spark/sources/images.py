@@ -305,6 +305,36 @@ def resized_pix_sums_for_ids(ids: np.ndarray, out_w: int = 16,
     return out
 
 
+def flipped_wsums_for_ids(ids: np.ndarray, sizes=(16, 32),
+                          lossy_pct: int = 30) -> np.ndarray:
+    """Driver-side ground truth for the horizontal-flip augmentation
+    (operators/multimodal.flip_images): the column-position-weighted
+    checksum sum(pix[y,x,c] * (x+1)) of each image's STORED pixels
+    after mirroring along x.  The weight makes the checksum
+    mirror-SENSITIVE (a plain sum is flip-invariant), so it pins the
+    actual pixel movement.  Pins images_flipped.parquet for
+    queries.image_augment_flip."""
+    ids = np.asarray(ids).astype(np.uint64)
+    out = np.zeros(ids.size, np.int64)
+    size_pick = (splitmix64(ids ^ np.uint64(7))
+                 % np.uint64(len(sizes))).astype(np.int64)
+    lossy = (splitmix64(ids ^ np.uint64(13))
+             % np.uint64(100)) < np.uint64(lossy_pct)
+    for si, wh in enumerate(sizes):
+        m = size_pick == si
+        if not m.any():
+            continue
+        pix = _pixels_for(ids[m], wh, wh)
+        q = 8
+        qpix = ((pix.astype(np.int32) // q) * q + q // 2) \
+            .clip(0, 255).astype(np.uint8)
+        eff = np.where(lossy[m][:, None, None, None], qpix, pix)
+        flipped = eff[:, :, ::-1, :]
+        wgt = np.arange(1, wh + 1, dtype=np.int64)[None, None, :, None]
+        out[m] = (flipped.astype(np.int64) * wgt).sum(axis=(1, 2, 3))
+    return out
+
+
 INDEX_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType(), False),
     T.StructField("fmt", T.StringType(), False),

@@ -373,6 +373,29 @@ def build_images_resized(n: int = 5000, out_w: int = 16,
     return path
 
 
+def build_images_flipped(n: int = 5000, out_dir: str = None) -> str:
+    """(image_id, w, h, wsum) — mirror-sensitive weighted checksums
+    after the horizontal flip of every image's STORED pixels
+    (images.flipped_wsums_for_ids).  Pins the flip-augmentation
+    oracle (queries.image_augment_flip)."""
+    from geographiclib_go_spark.sources import images as im
+    ids = np.arange(n, dtype=np.uint64)
+    ws = im.flipped_wsums_for_ids(ids)
+    size_pick = (im.splitmix64(ids ^ np.uint64(7))
+                 % np.uint64(2)).astype(np.int64)
+    wh = np.asarray((16, 32), np.int32)[size_pick]
+    tbl = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "w": wh,
+        "h": wh,
+        "wsum": ws,
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "images_flipped.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def build_track_simplify(n: int, out_dir: str = None) -> str:
     """DP oracle via the textbook recursive implementation.
 
@@ -498,6 +521,8 @@ def main():
     print("wrote", p5r)
     p5p = build_images_placements()
     print("wrote", p5p)
+    p5f = build_images_flipped()
+    print("wrote", p5f)
     p6 = build_track_simplify(n)
     print("wrote", p6)
     p7 = build_map_match(n)

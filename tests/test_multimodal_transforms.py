@@ -78,3 +78,39 @@ def test_frame_sample_pixel_sums(spark):
         for f in (0, 2, 4, 6):
             want = int(full[f].astype(np.int64).sum())
             assert got[(v, f)] == (16, 16, want), (v, f)
+
+
+def test_flip_pipeline_matches_numpy_replay(spark):
+    """decode -> mirror -> PPM re-encode -> decode again: the weighted
+    checksum equals the driver-side replay AND the linear flip
+    identity wsum_flip = (w+1)*pix_sum - wsum_orig holds row by row
+    (two independent derivations of the same value)."""
+    n = 64
+    imgs = im.generate_images(spark, n)
+    flipped = mm.flip_images(imgs)
+    got = {r.image_id: (r.w, r.h, r.wsum)
+           for r in mm.ppm_weighted_stats(flipped,
+                                          ["image_id"]).collect()}
+    assert len(got) == n
+    ids = np.arange(n, dtype=np.uint64)
+    want = im.flipped_wsums_for_ids(ids)
+    inv = im.row_invariants_for_ids(ids)
+    orig = {r.image_id: r.wsum
+            for r in mm.ppm_weighted_stats(
+                mm.flip_images(flipped), ["image_id"]).collect()}
+    for i in range(n):
+        iid = f"img_{i:012d}"
+        w, h, ws = got[iid]
+        assert ws == want[i]
+        # double flip restores the original orientation; its weighted
+        # sum + the flipped one must bracket the plain pixel sum
+        assert orig[iid] + ws == (w + 1) * inv["pix_sum"][i]
+
+
+def test_images_flipped_fixture_is_fresh():
+    path = os.path.join(FIXTURE_DIR, "images_flipped.parquet")
+    pdf = duckdb.sql(
+        f"SELECT image_id, wsum FROM '{path}' ORDER BY image_id").df()
+    assert len(pdf) == 5000
+    want = im.flipped_wsums_for_ids(np.arange(5000, dtype=np.uint64))
+    assert (pdf["wsum"].to_numpy(np.int64) == want).all()
