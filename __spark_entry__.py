@@ -74,10 +74,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup_keep_best": Q.image_near_dup_keep_best,  # late-r4
         "image_augment_flip": Q.image_augment_flip,  # new late-r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
+        # (the 4 late-r4 additions above push the LAST TWO entries of
+        # this block past the driver's 50-row cap; the block is ordered
+        # so the two that fall out — sphere_polygon_area_dist and
+        # emb_similar_pairs — are the ones whose oracle/semantics are
+        # shared with an in-draw twin, minimizing lost evidence)
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,
         "sphere_polygon_area": Q.sphere_polygon_area,
-        "sphere_polygon_area_dist": Q.sphere_polygon_area_dist,
         "doc_dedup_summary": Q.doc_dedup_summary,
         "doc_token_stats": Q.doc_token_stats,
         "doc_lang_guess": Q.doc_lang_guess,
@@ -93,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_motion": Q.video_motion,
         "emb_cosine_topk": Q.emb_cosine_topk,
         "emb_near_dup_pairs": Q.emb_near_dup_pairs,
+        "sphere_polygon_area_dist": Q.sphere_polygon_area_dist,
         "emb_similar_pairs": Q.emb_similar_pairs,
         # --- green in r3 (official rows already on record) — 50 ---
         "q1_pricing_summary": Q.q1_pricing_summary,
