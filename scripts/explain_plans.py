@@ -379,6 +379,30 @@ def main():
         "sorted in a single task.",
         formatted(Q.image_tile_rebalance(spark, sf))))
 
+    sections.append((
+        "image_near_dup_keep_best (argmax without a window sort)",
+        "After the components join, the survivor pick is ONE "
+        "HashAggregate pair over min(struct(-npx, id)) — look for the "
+        "absence of any Window/Sort over component_id: a hot cluster "
+        "contributes partial aggregates from every input partition "
+        "instead of serializing into one task.",
+        formatted(Q.image_near_dup_keep_best(spark, sf))))
+
+    sections.append((
+        "doc_regex_scrub (JVM regexp codegen, map-only)",
+        "regexp_count/regexp_replace/length all live inside one "
+        "WholeStageCodegen Project over the parquet scan; the only "
+        "exchange is the tiny per-source HashAggregate pair.  No "
+        "Python anywhere.",
+        formatted(Q.doc_regex_scrub(spark, sf))))
+
+    sections.append((
+        "emb_quality_gate (quantize + aggregate, one shuffle)",
+        "The quantizer, squared-norm fold, and spike max are all "
+        "higher-order array expressions inside Project; the per-label "
+        "partial/final HashAggregate pair is the only exchange.",
+        formatted(Q.emb_quality_gate(spark, sf))))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "
