@@ -520,3 +520,27 @@ def streaming_decontaminate_events(doc_stream: DataFrame,
         F.explode(cp.ngram_col(tok, n)).alias("gram"))
     return g.join(F.broadcast(eval_gram_df), "gram", "inner") \
         .select("doc_id", "gram")
+
+
+def streaming_scrub_events(doc_stream: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Streaming ingest-time PII-shaped scrubbing — the readStream
+    face of queries.doc_regex_scrub: every arriving document is
+    counted and globally redacted in-flight, emitting (doc_id,
+    n_hits, chars_delta, text_clean).  Stateless map-only JVM regexp
+    chain: append-safe by construction, no watermark, no state store
+    — the shape an ingest pipeline wants, since the scrub decision
+    needs nothing beyond the row itself.  Pattern/replacement are the
+    corpus module constants, so batch and stream cannot drift.
+    Batch parity is pytest-gated."""
+    from geographiclib_go_spark.operators import corpus as cp
+
+    red = F.regexp_replace(text_col, cp.SCRUB_PATTERN, cp.SCRUB_REPL)
+    return doc_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(cp.SCRUB_PATTERN))
+        .alias("n_hits"),
+        (F.length(text_col) - F.length(red)).cast("long")
+        .alias("chars_delta"),
+        red.alias("text_clean"))

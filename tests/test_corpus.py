@@ -267,3 +267,43 @@ def test_regex_scrub_matches_python_re(spark, sf_dir):
            for r in cp.regex_scrub(docs).collect()}
     assert got == want
     assert sum(v[2] for v in want.values()) > 0  # gate is non-trivial
+
+
+def test_streaming_scrub_matches_batch(spark, tmp_path):
+    """streaming_scrub_events over micro-batched arrivals must make
+    the same per-doc scrub decisions as python re (and therefore as
+    the batch doc_regex_scrub rollup)."""
+    import re
+    from geographiclib_go_spark.streaming import polygon_stream as ps
+
+    pat = re.compile(cp.SCRUB_PATTERN)
+    pdf = _docs_pdf(spark, SF_DIR)[["doc_id", "text"]] \
+        .reset_index(drop=True)
+    want = {int(r.doc_id): (len(pat.findall(r.text)),
+                            len(r.text) - len(pat.sub(cp.SCRUB_REPL,
+                                                      r.text)),
+                            pat.sub(cp.SCRUB_REPL, r.text))
+            for _, r in pdf.iterrows()}
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = ps.streaming_scrub_events(stream)
+    q = (out.writeStream.format("memory").queryName("scrub_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM scrub_events").toPandas()
+    finally:
+        q.stop()
+    got = {int(r.doc_id): (int(r.n_hits), int(r.chars_delta),
+                           r.text_clean)
+           for _, r in ev.iterrows()}
+    assert got == want
+    assert sum(v[0] for v in want.values()) > 0
