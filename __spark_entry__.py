@@ -73,12 +73,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quality_gate": Q.emb_quality_gate,  # new late-r4
         "image_near_dup_keep_best": Q.image_near_dup_keep_best,  # late-r4
         "image_augment_flip": Q.image_augment_flip,  # new late-r4
+        "doc_pagerank": Q.doc_pagerank,  # new late-r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
-        # (the 4 late-r4 additions above push the LAST TWO entries of
+        # (the 5 late-r4 additions above push the LAST THREE entries of
         # this block past the driver's 50-row cap; the block is ordered
-        # so the two that fall out — sphere_polygon_area_dist and
-        # emb_similar_pairs — are the ones whose oracle/semantics are
-        # shared with an in-draw twin, minimizing lost evidence)
+        # so the three that fall out — emb_cosine_topk,
+        # sphere_polygon_area_dist and emb_similar_pairs — are the ones
+        # whose oracle/semantics are shared with an in-draw twin
+        # (emb_ivf_topk, sphere_polygon_area, emb_near_dup_pairs),
+        # minimizing lost evidence)
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,
         "sphere_polygon_area": Q.sphere_polygon_area,
@@ -95,8 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": Q.doc_fingerprints,
         "audio_features": Q.audio_features,
         "video_motion": Q.video_motion,
-        "emb_cosine_topk": Q.emb_cosine_topk,
         "emb_near_dup_pairs": Q.emb_near_dup_pairs,
+        "emb_cosine_topk": Q.emb_cosine_topk,
         "sphere_polygon_area_dist": Q.sphere_polygon_area_dist,
         "emb_similar_pairs": Q.emb_similar_pairs,
         # --- green in r3 (official rows already on record) — 50 ---

@@ -120,7 +120,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "doc_stratified_sample", "pts_geohash_rollup", "pts_dbscan",
         "doc_decontaminate", "doc_repetition_filter",
         "doc_substring_dedup", "doc_domain_mix", "doc_bm25_topk",
-        "doc_regex_scrub", "emb_quality_gate",
+        "doc_regex_scrub", "emb_quality_gate", "doc_pagerank",
         "image_caption_conflict", "image_tile_rebalance",
         "image_near_dup_keep_best", "image_augment_flip",
     ]

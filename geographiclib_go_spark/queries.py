@@ -34,6 +34,7 @@ from geographiclib_go_spark.functions.geodesic_udfs import (
     make_inverse_udf, make_waypoint_udf)
 from geographiclib_go_spark.operators import clustering as cl
 from geographiclib_go_spark.operators import corpus as cps
+from geographiclib_go_spark.operators import pagerank as pr
 from geographiclib_go_spark.operators import components as cc
 from geographiclib_go_spark.operators import dedup as ded
 from geographiclib_go_spark.operators import geohash as gh
@@ -1427,6 +1428,21 @@ def emb_quality_gate(spark, sf_dir):
     partial-agg shuffle."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.quality_gate(emb)
+
+
+def doc_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (operators/pagerank.py) over the
+    deterministic affine link graph on the documents table — the
+    crawl-authority signal a data pipeline computes before weighting
+    sources.  3 unrolled iterations, damping 85/100, every rank an
+    exact BIGINT (the kmeans quantization discipline applied to an
+    iterative GRAPH algorithm); top-20 by final rank with in-degree
+    witnesses.  Scale shape per iteration: edges stay put, ONE
+    partial-agg shuffle on dst + a per-node join — no driver graph
+    state.  Oracle: the same unrolled chain as DuckDB CTEs
+    (pagerank.pagerank_oracle_sql, constants shared)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return pr.pagerank(docs)
 
 
 def doc_fingerprints(spark, sf_dir):
@@ -3846,6 +3862,7 @@ ORACLE_SQL["doc_substring_dedup"] = cps.substring_dedup_oracle_sql()
 ORACLE_SQL["doc_domain_mix"] = cps.domain_mix_oracle_sql()
 ORACLE_SQL["doc_bm25_topk"] = cps.bm25_oracle_sql()
 ORACLE_SQL["doc_regex_scrub"] = cps.regex_scrub_oracle_sql()
+ORACLE_SQL["doc_pagerank"] = pr.pagerank_oracle_sql()
 ORACLE_SQL["emb_quality_gate"] = sim.quality_gate_oracle_sql()
 
 ORACLE_SQL["image_caption_conflict"] = """
