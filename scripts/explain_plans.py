@@ -380,6 +380,16 @@ def main():
         formatted(Q.image_tile_rebalance(spark, sf))))
 
     sections.append((
+        "doc_pagerank (unrolled iterations, one shuffle per round)",
+        "Each of the 3 unrolled rounds is an equi-join of the cached "
+        "edge multiset to the rank frame plus ONE partial/final "
+        "HashAggregate pair keyed on dst — look for the InMemoryScan "
+        "of the edges (materialized once) and the absence of any "
+        "driver-side loop artifact: the whole iterative computation "
+        "is a single Catalyst plan.",
+        formatted(Q.doc_pagerank(spark, sf))))
+
+    sections.append((
         "image_near_dup_keep_best (argmax without a window sort)",
         "After the components join, the survivor pick is ONE "
         "HashAggregate pair over min(struct(-npx, id)) — look for the "
