@@ -74,14 +74,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup_keep_best": Q.image_near_dup_keep_best,  # late-r4
         "image_augment_flip": Q.image_augment_flip,  # new late-r4
         "doc_pagerank": Q.doc_pagerank,  # new late-r4
+        "image_quality_gate": Q.image_quality_gate,  # new late-r4
         # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
-        # (the 5 late-r4 additions above push the LAST THREE entries of
+        # (the 6 late-r4 additions above push the LAST FOUR entries of
         # this block past the driver's 50-row cap; the block is ordered
-        # so the three that fall out — emb_cosine_topk,
-        # sphere_polygon_area_dist and emb_similar_pairs — are the ones
-        # whose oracle/semantics are shared with an in-draw twin
-        # (emb_ivf_topk, sphere_polygon_area, emb_near_dup_pairs),
-        # minimizing lost evidence)
+        # so the four that fall out — doc_hll_registers,
+        # emb_cosine_topk, sphere_polygon_area_dist, emb_similar_pairs
+        # — are the ones whose oracle/semantics are shared with an
+        # in-draw twin (doc_hll_distinct, emb_ivf_topk,
+        # sphere_polygon_area, emb_near_dup_pairs), minimizing lost
+        # evidence)
         "sphere_gnomonic": Q.sphere_gnomonic,
         "sphere_waypoints": Q.sphere_waypoints,
         "sphere_polygon_area": Q.sphere_polygon_area,
@@ -91,7 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_buckets": Q.doc_quality_buckets,
         "doc_bpe_tokens": Q.doc_bpe_tokens,
         "docs_clean_pipeline": Q.docs_clean_pipeline,
-        "doc_hll_registers": Q.doc_hll_registers,
         "doc_hll_distinct": Q.doc_hll_distinct,
         "doc_minhash_pairs": Q.doc_minhash_pairs,
         "doc_simhash_pairs": Q.doc_simhash_pairs,
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": Q.audio_features,
         "video_motion": Q.video_motion,
         "emb_near_dup_pairs": Q.emb_near_dup_pairs,
+        "doc_hll_registers": Q.doc_hll_registers,
         "emb_cosine_topk": Q.emb_cosine_topk,
         "sphere_polygon_area_dist": Q.sphere_polygon_area_dist,
         "emb_similar_pairs": Q.emb_similar_pairs,

@@ -1601,6 +1601,42 @@ def zone_caption_stats(spark, sf_dir):
             .orderBy("zone_id"))
 
 
+def image_quality_gate(spark, sf_dir):
+    """Brightness quality gate over the image table — the
+    drop-too-dark / too-bright filter a vision pipeline runs before
+    training: every image is codec-decoded and its integer mean
+    brightness x100 (b100 = 100*pix_sum DIV n_px) is banded per fmt.
+    On the synthetic generator brightness is near-uniform (~127), so
+    the thresholds sit inside the QUANTIZATION-induced spread of the
+    lossy rows (12450..12800) — the ppm rows all pass, the jpeg-sim
+    rows split, keeping the gate non-trivial.  Plan shape: the decode
+    stats ride the map-only generate chain; fmt comes from the
+    byte-free index via a broadcast join on the id (no byte shuffle);
+    ONE tiny per-fmt aggregate.  Oracle: the same banding over the
+    pinned invariants fixture (pix_sum, n_px, fmt)."""
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    st = im.decode_pixel_stats(
+        imgs.withColumn("tile_id",
+                        F.substring("image_id", 5, 12).cast("long"))
+        .select("tile_id", "bytes", "fmt", "w", "h"))
+    idx = im.generate_image_index(spark, _IMG_QUERY_N).select(
+        F.substring("image_id", 5, 12).cast("long").alias("tile_id"),
+        "fmt")
+    b100 = F.expr("100 * pix_sum DIV n_px")
+    return (st.join(F.broadcast(idx), "tile_id")
+            .select("fmt", b100.alias("b100"))
+            .groupBy("fmt")
+            .agg(F.count("*").cast("long").alias("n_images"),
+                 F.sum(F.when(F.col("b100") < 12600, 1).otherwise(0))
+                 .cast("long").alias("n_dark"),
+                 F.sum(F.when(F.col("b100") > 12780, 1).otherwise(0))
+                 .cast("long").alias("n_bright"),
+                 F.min("b100").alias("min_b100"),
+                 F.max("b100").alias("max_b100"))
+            .orderBy("fmt"))
+
+
 def image_caption_conflict(spark, sf_dir):
     """Caption-conflict detector over the north-rule table: exact-dup
     image groups (same phash) whose rows disagree on the CAPTION —
@@ -3748,6 +3784,21 @@ ORACLE_SQL["image_resize_stats"] = """
            pix_sum
     FROM '{fix}/images_resized.parquet'
     ORDER BY image_id
+""".format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_quality_gate"] = """
+    WITH s AS (SELECT fmt,
+                      (100 * pix_sum) // n_px AS b100
+               FROM '{fix}/images_invariants.parquet')
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN b100 < 12600 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dark,
+           CAST(SUM(CASE WHEN b100 > 12780 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bright,
+           MIN(b100) AS min_b100,
+           MAX(b100) AS max_b100
+    FROM s GROUP BY fmt ORDER BY fmt
 """.format(fix=_FIXTURE_DIR)
 
 ORACLE_SQL["image_augment_flip"] = """

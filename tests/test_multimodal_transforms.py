@@ -114,3 +114,27 @@ def test_images_flipped_fixture_is_fresh():
     assert len(pdf) == 5000
     want = im.flipped_wsums_for_ids(np.arange(5000, dtype=np.uint64))
     assert (pdf["wsum"].to_numpy(np.int64) == want).all()
+
+
+def test_image_quality_gate_matches_fixture_replay(spark):
+    """The distributed decode->band->aggregate equals an independent
+    pandas replay of the committed invariants fixture, and the gate
+    is non-trivial (some lossy rows fall outside the band)."""
+    import pandas as pd
+    from geographiclib_go_spark import queries as Q
+
+    inv = pd.read_parquet(
+        os.path.join(FIXTURE_DIR, "images_invariants.parquet"))
+    inv["b100"] = (100 * inv.pix_sum) // inv.n_px
+    want = {}
+    for fmt, g in inv.groupby("fmt"):
+        want[fmt] = (len(g), int((g.b100 < 12600).sum()),
+                     int((g.b100 > 12780).sum()),
+                     int(g.b100.min()), int(g.b100.max()))
+    got = {r["fmt"]: (r["n_images"], r["n_dark"], r["n_bright"],
+                      r["min_b100"], r["max_b100"])
+           for r in Q.image_quality_gate(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+    assert want["jpeg-sim"][1] > 0          # some dark lossy rows
+    assert want["ppm"][1] == 0              # lossless rows all pass
