@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r3); the r3 greens fill the rest.  With this rotation every
     # registered query has an official green row within rounds 3+4.
     return {
-        # --- never driver-checked + new in r4 — 20 ---
+        # --- never driver-checked + new in r4 — 34 ---
         "route_crossings": Q.route_crossings,
         "ellip_route_crossings": Q.ellip_route_crossings,
         "docs_incremental_dedup": Q.docs_incremental_dedup,
@@ -75,7 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment_flip": Q.image_augment_flip,  # new late-r4
         "doc_pagerank": Q.doc_pagerank,  # new late-r4
         "image_quality_gate": Q.image_quality_gate,  # new late-r4
-        # --- green in r2 only (rotated out of r3's 50-row draw) — 20 ---
+        # --- green in r2 only (rotated out of r3's 50-row draw) — 20,
+        # positions 35-54: the first 16 land in the r4 draw ---
         # (the 6 late-r4 additions above push the LAST FOUR entries of
         # this block past the driver's 50-row cap; the block is ordered
         # so the four that fall out — doc_hll_registers,

@@ -544,3 +544,32 @@ def streaming_scrub_events(doc_stream: DataFrame,
         (F.length(text_col) - F.length(red)).cast("long")
         .alias("chars_delta"),
         red.alias("text_clean"))
+
+
+def streaming_vector_qa_events(vec_stream: DataFrame,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Streaming ingest-time embedding QA — the readStream face of
+    queries.emb_quality_gate: every arriving vector is quantized and
+    measured in-flight, emitting (vec_id, n2, qmax, norm_ok, spiky)
+    so a malformed embedding batch is caught BEFORE it reaches a
+    persisted ANN index.  Stateless map-only higher-order array
+    expressions (the per-label rollup is the consumer's fold — a
+    streaming aggregate would add a state store for what is a pure
+    per-row decision).  Constants are the similarity module's, so
+    batch and stream cannot drift.  Batch parity is pytest-gated."""
+    from geographiclib_go_spark.operators import similarity as sim
+
+    unit = sim.QGATE_SCALE * sim.QGATE_SCALE
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * sim.QGATE_SCALE).cast("long"))
+    base = vec_stream.select(F.col(id_col).alias("vec_id"),
+                             q.alias("_q"))
+    n2 = F.aggregate(F.col("_q"), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    qmax = F.array_max(F.transform(F.col("_q"), F.abs))
+    return (base.select("vec_id", n2.alias("n2"), qmax.alias("qmax"))
+            .withColumn("norm_ok",
+                        F.abs(F.col("n2") - unit)
+                        <= sim.QGATE_NORM_TOL)
+            .withColumn("spiky", F.col("qmax") >= sim.QGATE_SPIKE))

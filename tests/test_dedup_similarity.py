@@ -638,3 +638,51 @@ def test_emb_quality_gate_matches_numpy(spark, sf_dir):
                         r["min_n2"], r["max_n2"], r["max_qabs"]]
            for r in sim.quality_gate(emb).collect()}
     assert got == want
+
+
+def test_streaming_vector_qa_matches_batch(spark, tmp_path):
+    """streaming_vector_qa_events over micro-batched arrivals must
+    make the same per-vector decisions the batch emb_quality_gate
+    aggregates (cross-checked against the numpy quantizer)."""
+    import numpy as np
+    from geographiclib_go_spark.operators import similarity as sim
+    from geographiclib_go_spark.streaming import polygon_stream as ps
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    unit = sim.QGATE_SCALE * sim.QGATE_SCALE
+    want = {}
+    for _, r in pdf.iterrows():
+        x = np.asarray(r.embedding, dtype=np.float64) * sim.QGATE_SCALE
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        n2 = int((q * q).sum())
+        qmax = int(np.abs(q).max())
+        want[int(r.vec_id)] = (n2, qmax,
+                               abs(n2 - unit) <= sim.QGATE_NORM_TOL,
+                               qmax >= sim.QGATE_SPIKE)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(pdf) // 2
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    emb.filter(f"vec_id < {half}").coalesce(1).write.parquet(
+        str(src / "b0"))
+    emb.filter(f"vec_id >= {half}").coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    out = ps.streaming_vector_qa_events(stream)
+    q = (out.writeStream.format("memory").queryName("vec_qa")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM vec_qa").toPandas()
+    finally:
+        q.stop()
+    got = {int(r.vec_id): (int(r.n2), int(r.qmax), bool(r.norm_ok),
+                           bool(r.spiky))
+           for _, r in ev.iterrows()}
+    assert got == want
