@@ -303,6 +303,11 @@ def ppm_pixel_stats(frames: DataFrame, id_cols: list) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # degrade per-row, not per-job: upstream transforms emit
+            # bytes=NULL for payloads they could not decode (unknown
+            # codec) — those rows are dropped here instead of letting
+            # bytes(None) fail the whole stage
+            pdf = pdf[pdf["bytes"].notna()].reset_index(drop=True)
             nb = len(pdf)
             if nb == 0:
                 continue
@@ -376,6 +381,10 @@ def ppm_weighted_stats(frames: DataFrame, id_cols: list) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # same per-row degradation contract as ppm_pixel_stats:
+            # bytes=NULL (producer's decode failure marker) -> row
+            # dropped, never bytes(None)
+            pdf = pdf[pdf["bytes"].notna()].reset_index(drop=True)
             nb = len(pdf)
             if nb == 0:
                 continue

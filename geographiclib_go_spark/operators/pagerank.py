@@ -29,10 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Affine edge maps (src * A + B) % N — three out-edges per doc.
+# Affine edge maps ((src % PR_SRC_MASK) * A + B) % N — three
+# out-edges per doc.  The mask bounds the multiply: with src folded
+# into [0, 2^31) the largest product is (2^31-1) * 1103515245 + B
+# < 2^62, so the arithmetic can never overflow int64 regardless of
+# doc_id magnitude — Spark (ANSI off) would wrap silently where
+# DuckDB raises, and the two engines would diverge exactly at the
+# scale this operator claims to serve.  For doc_id < 2^31 the mask
+# is the identity, so fixture-scale results are unchanged.
 PR_EDGE_CONSTS = ((1103515245, 12345),
                   (69069, 362437),
                   (1664525, 1013904223))
+PR_SRC_MASK = 1 << 31
 OUT_DEG = len(PR_EDGE_CONSTS)
 PR_SCALE = 1_000_000      # initial rank per node
 PR_D_NUM, PR_D_DEN = 85, 100   # damping 0.85 as an exact rational
@@ -49,22 +57,33 @@ def _edges(docs: DataFrame) -> DataFrame:
     ids = docs.select(F.col("doc_id").cast("long").alias("src")) \
               .crossJoin(F.broadcast(n1))
     dsts = F.array(*[
-        (F.col("src") * F.lit(a) + F.lit(b)) % F.col("_n")
+        ((F.col("src") % F.lit(PR_SRC_MASK)) * F.lit(a) + F.lit(b))
+        % F.col("_n")
         for a, b in PR_EDGE_CONSTS])
     return ids.select("src", F.explode(dsts).alias("dst"))
 
 
 def pagerank(docs: DataFrame,
              iters: int = PR_ITERS,
-             topk: int = PR_TOPK) -> DataFrame:
+             topk: int = PR_TOPK,
+             snapshot=None) -> DataFrame:
     """(doc_id, n_in, pr): top-k docs by integer PageRank after
     `iters` unrolled rounds, ties to the lower doc_id; n_in (the
-    in-degree) rides along as a structural witness."""
-    # the edge multiset feeds every iteration AND the in-degree
-    # witness — cache it instead of re-deriving per unrolled round
-    # (at scale this is the materialize-the-graph step every
-    # distributed PageRank does once)
-    edges = _edges(docs).cache()
+    in-degree) rides along as a structural witness.
+
+    The edge multiset feeds every unrolled round AND the in-degree
+    witness, so it is materialized ONCE — the materialize-the-graph
+    step every distributed PageRank does.  Pass ``snapshot`` (a
+    DataFrame -> DataFrame callable, e.g. a plans/lineage.run_stage
+    wrapper) to persist it as a write-once artifact that reruns
+    probe instead of recompute; without one the edges are eagerly
+    localCheckpoint-ed — lineage-truncated, and the blocks are
+    released by the ContextCleaner when the plan goes out of scope
+    (a bare cache() would leak for the session lifetime across
+    repeated invocations)."""
+    edges = _edges(docs)
+    edges = (snapshot(edges) if snapshot is not None
+             else edges.localCheckpoint(eager=True))
     ranks = docs.select(F.col("doc_id").cast("long").alias("id"),
                         F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(iters):
@@ -94,7 +113,8 @@ def pagerank_oracle_sql(iters: int = PR_ITERS,
     """DuckDB twin: the same unrolled iterations as CTEs, constants
     baked from this module."""
     edge_selects = "\n          UNION ALL ".join(
-        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % n.n AS dst "
+        f"SELECT doc_id AS src, "
+        f"((doc_id % {PR_SRC_MASK}) * {a} + {b}) % n.n AS dst "
         f"FROM ids, n"
         for a, b in PR_EDGE_CONSTS)
     ctes = [

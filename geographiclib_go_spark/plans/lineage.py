@@ -164,7 +164,10 @@ def run_stage(spark: SparkSession, root: str, stage: str,
         "wall_s": round(time.time() - t0, 3),
         "input_fingerprint": input_fingerprint,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "n_partitions": out.rdd.getNumPartitions(),
+        # committed data-file count, from the filesystem listing —
+        # no df.rdd conversion (a driver-side RDD materialization)
+        # on the write path
+        "n_files": len(_data_files(os.path.join(snap, "data"))),
     }
     with open(os.path.join(snap, "commit.json"), "w") as fh:
         json.dump(meta, fh)
@@ -251,7 +254,11 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
     t0 = time.time()
     if partition_by:
         packed = df.repartition(target_files, *partition_by)
-    elif target_files < df.rdd.getNumPartitions():
+    elif target_files < len(old_files):
+        # fewer outputs than current files: concatenate without an
+        # exchange (read partitions track the file listing for these
+        # sub-split-size snapshot files, so the file count is the
+        # honest reduction test — and costs no df.rdd conversion)
         packed = df.coalesce(target_files)
     else:
         packed = df.repartition(target_files)
@@ -282,7 +289,7 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
         "wall_s": round(time.time() - t0, 3),
         "input_fingerprint": cur.get("input_fingerprint", ""),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "n_partitions": out.rdd.getNumPartitions(),
+        "n_files": len(_data_files(os.path.join(snap, "data"))),
         "compacted_from": cur["version"],
         "files_before": len(old_files),
         "files_after": len(_data_files(os.path.join(snap, "data"))),

@@ -1439,10 +1439,20 @@ def doc_pagerank(spark, sf_dir):
     iterative GRAPH algorithm); top-20 by final rank with in-degree
     witnesses.  Scale shape per iteration: edges stay put, ONE
     partial-agg shuffle on dst + a per-node join — no driver graph
-    state.  Oracle: the same unrolled chain as DuckDB CTEs
+    state.  The edge multiset — the materialize-the-graph step — is
+    a write-once plans/lineage snapshot like the band/IVF indexes:
+    reruns probe the committed parquet instead of re-deriving, and
+    nothing stays pinned in executor storage across invocations.
+    Oracle: the same unrolled chain as DuckDB CTEs
     (pagerank.pagerank_oracle_sql, constants shared)."""
+    from geographiclib_go_spark.plans import lineage as lin
     docs = _t_spread(spark, sf_dir, "documents")
-    return pr.pagerank(docs)
+    fp = (f"{os.path.abspath(sf_dir)}|pr_edges"
+          f"|{pr.PR_EDGE_CONSTS}|{pr.PR_SRC_MASK}")
+    snapshot = lambda edges: lin.run_stage(  # noqa: E731
+        spark, _dedup_store_root(), "pagerank_edges_documents",
+        lambda: edges, input_fingerprint=fp)
+    return pr.pagerank(docs, snapshot=snapshot)
 
 
 def doc_fingerprints(spark, sf_dir):
