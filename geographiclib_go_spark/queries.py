@@ -1678,29 +1678,36 @@ def image_tile_rebalance(spark, sf_dir):
     step that stops hot regions (cities, the generator's hot discs)
     from dominating a geo-distributed training set.  Implemented as a
     SALTED TWO-PHASE top-K, not a per-tile window sort: phase 1
-    groups by (tile, pmod(xxhash64(id), 32)) and keeps each salt
-    group's sorted top-8, phase 2 merges the <= 32*8 candidates per
-    tile — the 441-image hot tile splits across 32 salt groups, so no
-    single task ever sorts a whole hot tile and the plan survives a
-    hot cell at any scale (a window row_number() <= k would move each
-    tile to ONE partition).  Output: overflowing tiles only, with the
-    kept id list pinned (array_join) so the hash gate proves the
-    two-phase merge equals the oracle's plain window ranking."""
+    ranks rows inside (tile, pmod(xxhash64(id), 32)) salt groups
+    with a STREAMING row_number() window (external sort, emits only
+    the top-8 per group — no aggregation buffer ever materializes a
+    whole group's id array, so a 10^9-image hot tile costs one
+    spillable sort, not 10^9/32 ids in one agg row), phase 2 merges
+    the <= 32*8 survivors per tile — the 441-image hot tile splits
+    across 32 salt groups, so no single task ever sorts a whole hot
+    tile and the plan survives a hot cell at any scale (an UNSALTED
+    window row_number() <= k would move each tile to ONE partition).
+    Tile totals come from a separate partial-aggregated count — a
+    long counter per task, never a collection.  Output: overflowing
+    tiles only, with the kept id list pinned (array_join) so the
+    hash gate proves the salted two-phase merge equals the oracle's
+    plain window ranking."""
     from geographiclib_go_spark.sources import images as im
     cap, salt = 8, 32
     idx = im.generate_image_index(spark, _IMG_QUERY_N)
     tiled = tiling.assign_tiles(idx, 6).select("tile_id", "image_id")
-    part = (tiled
-            .withColumn("_s", F.pmod(F.xxhash64("image_id"),
-                                     F.lit(salt)))
-            .groupBy("tile_id", "_s")
-            .agg(F.count("*").alias("cnt"),
-                 F.slice(F.sort_array(F.collect_list("image_id")),
-                         1, cap).alias("cand")))
-    return (part.groupBy("tile_id")
-            .agg(F.sum("cnt").cast("long").alias("n_total"),
-                 F.slice(F.sort_array(F.flatten(
-                     F.collect_list("cand"))), 1, cap).alias("keep"))
+    totals = (tiled.groupBy("tile_id")
+              .agg(F.count("*").cast("long").alias("n_total")))
+    w = Window.partitionBy("tile_id", "_s").orderBy("image_id")
+    survivors = (tiled
+                 .withColumn("_s", F.pmod(F.xxhash64("image_id"),
+                                          F.lit(salt)))
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= cap))
+    merged = (survivors.groupBy("tile_id")
+              .agg(F.slice(F.sort_array(F.collect_list("image_id")),
+                           1, cap).alias("keep")))
+    return (merged.join(totals, "tile_id")
             .filter(F.col("n_total") > cap)
             .select("tile_id", "n_total",
                     F.size("keep").cast("long").alias("n_kept"),
