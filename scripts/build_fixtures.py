@@ -396,6 +396,38 @@ def build_images_flipped(n: int = 5000, out_dir: str = None) -> str:
     return path
 
 
+def build_pq256_topk(out_dir: str = None) -> str:
+    """(qid, vec_id, adc, rank) — the full IVF-PQ probe at realistic
+    parameters (ksub=256, m=8, k-means-trained codebooks) replayed
+    INDEPENDENTLY in numpy over the entire 100k-vector deterministic
+    corpus: train on the bounded sample, encode every vector, probe
+    each query's nprobe cells, ADC-score, rank with ties to the
+    lower vec_id.  Exact int64 end to end, so this fixture IS the
+    DuckDB oracle for queries.emb_ivfpq256_topk — the distributed
+    Arrow encode/probe must hash-match it bit-for-bit."""
+    from geographiclib_go_spark.operators import pq_arrow as pqa
+    from geographiclib_go_spark.queries import _PQ256 as p
+    from geographiclib_go_spark.sources import vectors as vx
+
+    sample = vx.q_for_ids(np.arange(p["train_n"]), p["dim"])
+    seeds = pqa.train_coarse_kmeans(sample, p["n_cells"], p["iters"])
+    books = pqa.train_codebooks_kmeans(sample, p["m"], p["ksub"],
+                                       p["iters"], seeds=seeds)
+    x = vx.q_for_ids(np.arange(p["n"]), p["dim"])
+    cell, codes = pqa.numpy_encode(x, books, seeds)
+    rows = pqa.numpy_adc_topk(x[:p["n_queries"]], books, seeds,
+                              cell, codes, p["k"], p["nprobe"])
+    tbl = pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "adc": pa.array([r[2] for r in rows], pa.int64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR, "pq256_topk.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def build_track_simplify(n: int, out_dir: str = None) -> str:
     """DP oracle via the textbook recursive implementation.
 
@@ -523,6 +555,8 @@ def main():
     print("wrote", p5p)
     p5f = build_images_flipped()
     print("wrote", p5f)
+    p5q = build_pq256_topk()
+    print("wrote", p5q)
     p6 = build_track_simplify(n)
     print("wrote", p6)
     p7 = build_map_match(n)

@@ -126,15 +126,20 @@ def test_image_quality_gate_matches_fixture_replay(spark):
     inv = pd.read_parquet(
         os.path.join(FIXTURE_DIR, "images_invariants.parquet"))
     inv["b100"] = (100 * inv.pix_sum) // inv.n_px
+    inv["band"] = inv.b100 // 10
     want = {}
-    for fmt, g in inv.groupby("fmt"):
-        want[fmt] = (len(g), int((g.b100 < 12600).sum()),
-                     int((g.b100 > 12780).sum()),
-                     int(g.b100.min()), int(g.b100.max()))
-    got = {r["fmt"]: (r["n_images"], r["n_dark"], r["n_bright"],
-                      r["min_b100"], r["max_b100"])
+    for (fmt, band), g in inv.groupby(["fmt", "band"]):
+        want[(fmt, int(band))] = (
+            len(g), int((g.b100 < 12600).sum()),
+            int((g.b100 > 12780).sum()),
+            int(g.b100.min()), int(g.b100.max()))
+    got = {(r["fmt"], r["b100_band"]):
+           (r["n_images"], r["n_dark"], r["n_bright"],
+            r["min_b100"], r["max_b100"])
            for r in Q.image_quality_gate(
                spark, "/root/testdata/sf0.001").collect()}
     assert got == want
-    assert want["jpeg-sim"][1] > 0          # some dark lossy rows
-    assert want["ppm"][1] == 0              # lossless rows all pass
+    assert len(got) >= 20                   # widened evidence (r5)
+    # some dark lossy rows; lossless rows all pass
+    assert sum(v[1] for k, v in want.items() if k[0] == "jpeg-sim") > 0
+    assert sum(v[1] for k, v in want.items() if k[0] == "ppm") == 0

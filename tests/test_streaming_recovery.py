@@ -1,0 +1,176 @@
+"""Checkpoint recovery for the streaming ingest gates (VERDICT r4
+item 4): the seven gates are batch-parity-tested, but resumability is
+a north-rule requirement (BASELINE.json) and until r5 nothing ever
+KILLED a stream mid-flight.  These tests run a gate with a real
+checkpointLocation + exactly-once file sink, stop the query between
+micro-batches, restart it from the same checkpoint, and assert the
+final event set equals the batch twin exactly — no loss (the
+checkpoint resumes from the unprocessed file), no dupes (the sink's
+_spark_metadata commit log masks any replayed output).
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from geographiclib_go_spark.operators import dedup as ded
+from geographiclib_go_spark.operators import sampling as smp
+from geographiclib_go_spark.sources import images as im
+from geographiclib_go_spark.streaming import polygon_stream as ps
+
+
+def _run_until_drained(build_query, sink, checkpoint):
+    """Start the gate's writeStream (parquet sink, checkpointed),
+    drain everything available, stop."""
+    q = (build_query()
+         .writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+
+def test_ingest_dedup_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_ingest_dedup_events killed after micro-batch 1 and
+    restarted from its checkpoint must classify EVERY batch doc like
+    queries.docs_incremental_dedup — the restart neither drops the
+    unprocessed arrivals nor duplicates the committed events."""
+    from geographiclib_go_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    lab = smp.assign_split(docs, "doc_id",
+                           weights={"corpus": 0.8, "batch": 0.2},
+                           salt="ingest:")
+    corpus = lab.filter(F.col("split") == "corpus")
+    batch = lab.filter(F.col("split") == "batch").select("doc_id",
+                                                         "text")
+
+    corpus_md5 = corpus.select(F.md5("text").alias("_h")).distinct()
+    corpus_bands = ded.minhash_band_table(corpus, num_hashes=64,
+                                          bands=8)
+    corpus_texts = corpus.select("doc_id", "text")
+    stat = {}
+    for df, name in ((corpus_md5, "md5"), (corpus_bands, "bands"),
+                     (corpus_texts, "texts")):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+        stat[name] = spark.read.parquet(str(tmp_path / name))
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    pdf = batch.orderBy("doc_id").toPandas()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_ingest_dedup_events(
+            stream, stat["md5"], stat["bands"], stat["texts"],
+            threshold=0.8, num_hashes=64, bands=8)
+
+    # leg 1: only b0 exists; drain, then the query is STOPPED
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+
+    # b1 arrives while no query is running
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+
+    # leg 2: a NEW query object restarts from the same checkpoint
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert len(ev) > leg1  # the restart actually processed b1
+
+    exact_ids = set(ev[ev.kind == "exact"].doc_id)
+    near_ids = set(ev[ev.kind == "near"].doc_id) - exact_ids
+    got = {int(d): ("exact_dup" if d in exact_ids
+                    else "near_dup" if d in near_ids else "new")
+           for d in pdf.doc_id}
+    want = {r["doc_id"]: r["status"]
+            for r in Q.docs_incremental_dedup(spark, sf).collect()}
+    assert got == want
+
+    # no loss / no dupes, stated precisely: the kill-and-restart
+    # run's event MULTISET equals an uninterrupted run's over the
+    # same arrivals (multi-band collision repeats are part of the
+    # gate's documented contract, so per-row uniqueness is NOT the
+    # invariant — a replayed micro-batch, however, would double its
+    # whole contribution and break multiset equality)
+    sink2 = str(tmp_path / "sink_oneshot")
+    ckpt2 = str(tmp_path / "ckpt_oneshot")
+    _run_until_drained(build, sink2, ckpt2)
+    one = spark.read.parquet(sink2).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.doc_id), r.kind,
+         -1 if r.matched_id is None or r.matched_id != r.matched_id
+         else int(r.matched_id),
+         round(-1.0 if r.jaccard is None or r.jaccard != r.jaccard
+               else float(r.jaccard), 9))
+        for r in df.itertuples(index=False))
+    assert key(ev) == key(one)
+
+
+def test_corridor_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_corridor_events killed between micro-batches and
+    restarted from its checkpoint must emit exactly the batch
+    corridor query's (image_id, seg, dist_r) set — no loss, no
+    dupes."""
+    from geographiclib_go_spark import queries as Q
+
+    want = {(r.image_id, int(r.seg), float(r.dist_r))
+            for r in Q.route_corridor_images(spark, None).collect()}
+
+    import pandas as pd
+
+    n = Q._IMG_QUERY_N
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    lat, lon = im.latlon_for_ids(ids, ph)
+    pdf = pd.DataFrame({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "lat": np.asarray(lat, np.float64),
+        "lon": np.asarray(lon, np.float64)})
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = n // 2
+    schema = "image_id string, lat double, lon double"
+    spark.createDataFrame(pdf.iloc[:half], schema) \
+        .coalesce(1).write.parquet(str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_corridor_events(
+            stream, Q._ROUTE_LATS, Q._ROUTE_LONS,
+            Q._CORRIDOR_M, Q._CORRIDOR_RES)
+
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+
+    spark.createDataFrame(pdf.iloc[half:], schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert leg1 < len(ev)
+    got = {(r.image_id, int(r.seg), float(r.dist_r))
+           for _, r in ev.iterrows()}
+    assert got == want
+    assert len(got) == len(ev)  # exactly-once: no duplicate rows
