@@ -90,14 +90,19 @@ def kmeans_int(sample: np.ndarray, k: int, iters: int) -> np.ndarray:
     ties to the lowest centroid id (np.argmin first-min), empty
     clusters keep their previous centroid.  Init = the first k
     sample rows (the engine's seed-row convention)."""
-    cents = sample[:k].astype(np.int64).copy()
+    sample = sample.astype(np.int64, copy=False)
+    cents = sample[:k].copy()
     for _ in range(iters):
         assign = np.argmin(_sq_dists(sample, cents), axis=1)
-        for ci in range(k):
-            members = sample[assign == ci]
-            if len(members):
-                cents[ci] = members.sum(axis=0,
-                                        dtype=np.int64) // len(members)
+        # vectorized exact update: per-cluster int64 sums via
+        # scatter-add, floor-div means; empty clusters keep their
+        # previous centroid (same math as the per-cluster loop, ~50x
+        # faster at ksub=256)
+        sums = np.zeros((k, sample.shape[1]), np.int64)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        nz = counts > 0
+        cents[nz] = sums[nz] // counts[nz, None]
     return cents
 
 

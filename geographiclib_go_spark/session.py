@@ -35,6 +35,19 @@ def build_session(app: str = "geographiclib_go_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles to the ADVISORY SIZE, not to the
+        # core count: with the default (true), every tiny exchange
+        # still fans out to defaultParallelism tasks, and the
+        # suite's shuffle-heavy queries pay ~32-64 near-empty tasks
+        # per stage on this host.  Measured median-of-3 at local[32]
+        # sf0.1: doc_tf_cosine_pairs 18.4 -> 13.2 s, pts_dbscan
+        # 9.4 -> 8.8, track_map_match 5.3 -> 2.5, emb_ivfpq256 24.6
+        # -> 11.4; map-heavy queries unchanged (q1 1.48 -> 1.35,
+        # images_clean 2.78 -> 3.00).  Large shuffles still split by
+        # advisoryPartitionSizeInBytes, so cluster-scale parallelism
+        # is unaffected.
+        .config("spark.sql.adaptive.coalescePartitions"
+                ".parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
