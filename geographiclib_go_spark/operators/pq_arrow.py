@@ -260,9 +260,15 @@ def ivfpq_topk_arrow(spark: SparkSession, encoded: DataFrame,
              for qid in range(q.shape[0]) for c in probes[qid]]
     pframe = literal_df(spark, pairs, "qid int, cell int")
 
-    cand = encoded.join(F.broadcast(pframe), "cell") \
-                  .select("qid", "cell",
-                          F.col("vid").alias("vec_id"), "code")
+    # the probed cell set is driver-known — push it as a STATIC
+    # partition filter so the cell-partitioned snapshot scan prunes
+    # at planning time (the equi-join alone leaves pruning to DPP's
+    # discretion); semantically a no-op on top of the join
+    needed = sorted({c for _, c in pairs})
+    cand = (encoded.filter(F.col("cell").isin(needed))
+            .join(F.broadcast(pframe), "cell")
+            .select("qid", "cell",
+                    F.col("vid").alias("vec_id"), "code"))
     m = books.shape[0]
     jj = np.arange(m)[None, :]
 
