@@ -89,11 +89,23 @@ def tf_cosine_pairs(docs: DataFrame, min_sim: float = 0.88,
     rare = (sh.groupBy("tri").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df))
     posting = sh.join(rare.select("tri"), "tri")
-    cand = (posting.alias("a")
-            .join(posting.alias("b"), "tri")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
+    # candidate pairs WITHOUT a posting self-join: group the rare
+    # postings per shingle (bounded — the df <= max_df filter already
+    # ran, so no list ever exceeds max_df ids) and emit each group's
+    # ordered pairs with JVM array expressions.  Same output as the
+    # a-join-b-on-tri formulation, one fewer shuffle of the posting
+    # table and no join build; fan-out stays bounded by max_df^2 per
+    # shingle.
+    ids = F.array_sort(F.collect_list("doc_id"))
+    pair_structs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2,
+                    F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
+    cand = (posting.groupBy("tri").agg(ids.alias("ids"))
+            .select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a"), F.col("p.id_b"))
             .distinct()
             .cache())
     # Prune the RAW documents to CANDIDATE ids before building TF

@@ -495,6 +495,70 @@ def streaming_pq_near_dup_events(vec_stream: DataFrame,
             .filter(F.col("adc") <= max_adc))
 
 
+def streaming_pq256_near_dup_events(vec_stream: DataFrame,
+                                    encoded: DataFrame,
+                                    books, seeds,
+                                    max_adc: int,
+                                    nprobe: int = 8) -> DataFrame:
+    """Streaming near-duplicate gate against the REALISTIC-parameter
+    IVF-PQ snapshot (operators/pq_arrow: ksub=256, k-means-trained
+    residual codebooks) — the ingest face of emb_ivfpq256_topk.
+    Arriving quantized vectors (vid, q array<long>) explode to their
+    nprobe nearest coarse cells in one Arrow kernel (numpy matmul;
+    codebooks/seeds ship via closure, never as literal expressions),
+    stream-static-join the committed cell-partitioned code table,
+    and a second Arrow kernel scores each surviving pair by exact
+    int64 ||q - (seeds[cell] + decode(code))||^2 — algebraically
+    identical to the batch LUT-gather ADC (the LUT is a batch-side
+    amortization; per-pair reconstruction is the stream shape).
+    Threshold semantics (adc <= max_adc), stateless, append-safe;
+    numpy-replay parity is pytest-gated."""
+    import numpy as np
+    import pandas as pd
+
+    from geographiclib_go_spark.operators import pq_arrow as pqa
+
+    b = books.astype(np.int64)
+    s = seeds.astype(np.int64)
+    m, ksub, sub = b.shape
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            cells = pqa.coarse_probes(x, s, nprobe)
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), nprobe)
+            yield pd.DataFrame({
+                "qid": pdf["vid"].to_numpy(np.int64)[idx],
+                "q": [x[i] for i in idx],
+                "cell": cells.reshape(-1)})
+
+    q = vec_stream.mapInPandas(
+        probe, "qid long, q array<long>, cell int")
+    j = q.join(encoded, "cell")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            codes = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            cells = pdf["cell"].to_numpy(np.int64)
+            recon = s[cells].copy()
+            for jj in range(m):
+                recon[:, jj * sub:(jj + 1) * sub] += b[jj][codes[:, jj]]
+            d = x - recon
+            yield pd.DataFrame({
+                "qid": pdf["qid"].to_numpy(np.int64),
+                "vec_id": pdf["vid"].to_numpy(np.int64),
+                "adc": (d * d).sum(axis=1, dtype=np.int64)})
+
+    return (j.mapInPandas(score, "qid long, vec_id long, adc long")
+            .filter(F.col("adc") <= max_adc))
+
+
 def streaming_decontaminate_events(doc_stream: DataFrame,
                                    eval_gram_df: DataFrame,
                                    ngram: int = None,

@@ -314,3 +314,72 @@ def test_pq256_fixture_current_and_recall(spark):
         rec.append(len(mine & exact) / P["k"])
     assert sum(rec) / len(rec) >= 0.55, rec
     assert min(rec) >= 0.3, rec
+
+
+def test_pq256_streaming_gate_matches_numpy(spark, pq256_arts,
+                                            tmp_path):
+    """streaming_pq256_near_dup_events probing the persisted
+    realistic-parameter code snapshot must emit exactly the numpy
+    replay's (qid, vec_id, adc <= max_adc) event set — per-pair
+    reconstruction distance in the stream equals the batch LUT ADC
+    algebraically, and this pins it numerically."""
+    import pandas as pd
+    from geographiclib_go_spark.streaming import polygon_stream as ps
+
+    x, books, seeds = pq256_arts
+    enc = pqa.ivfpq_encode_arrow(
+        vx.generate_vectors(spark, PN, PDIM), books, seeds)
+    enc.write.mode("overwrite").parquet(str(tmp_path / "enc"))
+    encoded = spark.read.parquet(str(tmp_path / "enc"))
+
+    # arrivals: 40 fresh vectors the corpus has never seen
+    arr_ids = np.arange(PN, PN + 40)
+    ax = vx.q_for_ids(arr_ids, PDIM)
+    pdf = pd.DataFrame({"vid": arr_ids.astype(np.int64),
+                        "q": list(ax)})
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(pdf.iloc[:20]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[20:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream.schema("vid long, q array<long>")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    # numpy replay (independent of the Spark kernels): per arriving
+    # vector, candidates from its nprobe cells, exact reconstruction
+    # distance
+    cell, codes = pqa.numpy_encode(x, books, seeds)
+    b = books.astype(np.int64)
+    s = seeds.astype(np.int64)
+    m, ksub, sub = b.shape
+    recon = s[cell].copy()
+    for j in range(m):
+        recon[:, j * sub:(j + 1) * sub] += b[j][codes[:, j]]
+    probes = pqa.coarse_probes(ax, s, PNPROBE)
+    want = set()
+    adcs = []
+    for t, qid in enumerate(arr_ids):
+        cand = np.nonzero(np.isin(cell, probes[t]))[0]
+        d = ax[t] - recon[cand]
+        adc = (d * d).sum(axis=1, dtype=np.int64)
+        adcs.extend(adc.tolist())
+        for i, a in zip(cand, adc):
+            want.add((int(qid), int(i), int(a)))
+    max_adc = int(np.quantile(np.array(adcs), 0.02))  # strict subset
+    want = {w for w in want if w[2] <= max_adc}
+    assert want
+
+    out = ps.streaming_pq256_near_dup_events(
+        stream, encoded, books, seeds, max_adc=max_adc,
+        nprobe=PNPROBE)
+    q = (out.writeStream.format("memory").queryName("pq256_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM pq256_events").toPandas()
+    finally:
+        q.stop()
+    got = {(int(r.qid), int(r.vec_id), int(r.adc))
+           for _, r in ev.iterrows()}
+    assert got == want and len(ev) == len(got)
