@@ -109,7 +109,8 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "doc_simhash_pairs", "doc_simhash_pairs_h3",
         "doc_ngram_jaccard_pairs",
         "emb_cosine_topk", "emb_near_dup_pairs", "emb_ivf_topk",
-        "emb_ivfpq_topk", "emb_ivfpq256_topk", "emb_kmeans",
+        "emb_ivfpq_topk", "emb_ivfpq256_topk",
+        "emb_ivfpq256_rerank_topk", "emb_kmeans",
         "audio_features", "video_motion", "video_frame_sample",
         "image_resize_stats",
         "image_phash_dedup", "image_phash_near_dup", "image_row_invariants",

@@ -428,6 +428,35 @@ def build_pq256_topk(out_dir: str = None) -> str:
     return path
 
 
+def build_pq256_rerank(out_dir: str = None) -> str:
+    """(qid, vec_id, dist, rank) — the TWO-STAGE probe (ADC top-100
+    shortlist, exact integer re-rank) replayed independently in
+    numpy over the full corpus.  The DuckDB oracle for
+    queries.emb_ivfpq256_rerank_topk."""
+    from geographiclib_go_spark.operators import pq_arrow as pqa
+    from geographiclib_go_spark.queries import (_PQ256 as p,
+                                                _PQ256_RERANK,
+                                                _pq256_artifacts)
+    from geographiclib_go_spark.sources import vectors as vx
+
+    books, seeds = _pq256_artifacts()
+    x = vx.q_for_ids(np.arange(p["n"]), p["dim"])
+    cell, codes = pqa.numpy_encode(x, books, seeds)
+    rows = pqa.numpy_rerank_topk(x[:p["n_queries"]], x, books, seeds,
+                                 cell, codes, p["k"], _PQ256_RERANK,
+                                 p["nprobe"])
+    tbl = pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "dist": pa.array([r[2] for r in rows], pa.int64()),
+        "rank": pa.array([r[3] for r in rows], pa.int32()),
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR,
+                        "pq256_rerank.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def build_track_simplify(n: int, out_dir: str = None) -> str:
     """DP oracle via the textbook recursive implementation.
 
@@ -557,6 +586,8 @@ def main():
     print("wrote", p5f)
     p5q = build_pq256_topk()
     print("wrote", p5q)
+    p5rr = build_pq256_rerank()
+    print("wrote", p5rr)
     p6 = build_track_simplify(n)
     print("wrote", p6)
     p7 = build_map_match(n)

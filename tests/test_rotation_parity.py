@@ -29,7 +29,7 @@ ROTATED_OUT = [
     "rollup_order_volume", "cube_order_volume", "part_type_pivot",
     "part_type_unpivot", "sphere_distance_buckets", "tile_counts",
     "tile_pyramid", "events_props_sum", "events_moving_window",
-    "track_bearing_rose",
+    "track_bearing_rose", "events_hourly",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
