@@ -36,18 +36,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver caps CORRECTNESS at 50 rows per
     # round, drawn in dict order.  r5 draw (first 50): the 4 queries whose
     # newest official row is r2 (rotated past the cap in r4), the 7 r5
-    # additions/rewrites (emb_ivfpq256_topk is new; the three widened
-    # gates, the rewritten image_tile_rebalance, and the
-    # snapshot-materializing doc_pagerank need fresh rows), then 39 of
-    # the r3 greens.  The 11 r3 greens pushed past the cap
-    # (rollup/cube, pivot/unpivot, sphere_distance_buckets, tile_counts,
-    # tile_pyramid, events_props_sum, events_moving_window,
-    # track_bearing_rose, events_hourly) are each backed by an EXECUTABLE parity gate —
+    # additions/rewrites (emb_ivfpq256_topk and its two-stage re-rank
+    # twin are new; the three widened gates, the rewritten
+    # image_tile_rebalance, and the snapshot-materializing doc_pagerank
+    # need fresh rows), then 39 of the r3 greens.  The 11 r3 greens
+    # pushed past the cap (rollup/cube, pivot/unpivot,
+    # sphere_distance_buckets, tile_counts, tile_pyramid,
+    # events_props_sum, events_moving_window, track_bearing_rose,
+    # events_hourly) are each backed by an EXECUTABLE parity gate —
     # tests/test_rotation_parity.py runs every out-of-draw rotation
     # casualty against its ORACLE_SQL through DuckDB — not by a comment
     # (ADVICE r4 item 1).  The 50 r4 greens close the dict.
     return {
-        # --- r5 draw: r2-evidence + new/changed — 10 ---
+        # --- r5 draw: r2-evidence + new/changed — 11 ---
         "doc_hll_registers": Q.doc_hll_registers,
         "emb_cosine_topk": Q.emb_cosine_topk,
         "sphere_polygon_area_dist": Q.sphere_polygon_area_dist,
@@ -59,7 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_buckets": Q.doc_quality_buckets,
         "image_tile_rebalance": Q.image_tile_rebalance,
         "doc_pagerank": Q.doc_pagerank,
-        # --- r5 draw: r3 greens — 40 ---
+        # --- r5 draw: r3 greens — 39 ---
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q3_top_revenue_orders": Q.q3_top_revenue_orders,
         "q5_nation_volume": Q.q5_nation_volume,
