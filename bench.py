@@ -66,8 +66,12 @@ def run_bench(sf_dir: str = None, cpus: str = None,
             # the one local-mode JVM and squeeze execution memory (the
             # r3 518-s "contended" capture was partly THIS).  Each
             # entry starts cold: drop everything the previous run
-            # pinned.
+            # pinned.  The GC hint collects the freed cache blocks
+            # NOW instead of mid-way through the next entry's run
+            # (observed: a 2.3-s warm probe reading 12 s late in the
+            # suite purely from inherited heap debt).
             spark.catalog.clearCache()
+            spark._jvm.System.gc()
         timings[name] = round(best, 3)
         return out
 
