@@ -543,3 +543,56 @@ def test_cms_estimate_broadcasts_registers(spark):
     est = cms.cms_estimate(toks, regs, "tok")
     plan = _plan(est)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Runtime complement to the engine's STATIC skew handling (hot
+    tiles counted then salted: queries.tile_counts_salted,
+    plans/pipeline.py hot-tile detection).  A skewed key the static
+    path has not pre-salted must be split by AQE's skew-join at
+    runtime — session.build_session ships
+    spark.sql.adaptive.skewJoin.enabled=true for exactly this.  The
+    gate executes a deliberately skewed sort-merge join (one key
+    carrying ~all rows) under tightened skew thresholds and asserts
+    the FINAL adaptive plan marks the join skew=true and the result
+    is still exact."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )}
+    try:
+        # force SMJ, and lower the skew bar so the fixture-scale hot
+        # partition (a few MB) is detected the way a multi-GB one is
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                 "1.0")
+        conf.set("spark.sql.adaptive.skewJoin"
+                 ".skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                 "8KB")
+        n_hot, n_keys = 40_000, 16
+        left = (spark.range(n_hot + (n_keys - 1) * 4)
+                .select(F.when(F.col("id") < n_hot, F.lit(0))
+                        .otherwise((F.col("id") % (n_keys - 1)) + 1)
+                        .alias("k"),
+                        F.concat(F.lit("payload-payload-payload-"),
+                                 F.col("id")).alias("v")))
+        right = (spark.range(n_keys * 3)
+                 .select((F.col("id") % n_keys).alias("k"),
+                         F.col("id").alias("r")))
+        j = left.join(right, "k")
+        # run THIS DataFrame's own query execution (count() would
+        # plan a separate aggregate tree and leave j's adaptive plan
+        # unfinalized)
+        got = len(j.collect())
+        # exact: every left row matches the 3 right rows of its key
+        assert got == (n_hot + (n_keys - 1) * 4) * 3
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
