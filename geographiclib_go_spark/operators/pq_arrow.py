@@ -1,4 +1,5 @@
-"""IVF-PQ at REALISTIC parameters (ksub=256, m>=8, k-means-trained
+"""IVF-PQ at REALISTIC parameters (ksub=256, m=16 in the registered
+query's shape, k-means-trained
 codebooks) — the scale path VERDICT r4 asked for to replace the
 literal-expression toy quantizer in operators/pq.py.
 
@@ -9,7 +10,7 @@ at ksub=16, hopeless at the FAISS-standard ksub=256.  Here the
 codebooks live as numpy arrays shipped once into Arrow-batched
 kernels (mapInPandas over the task-broadcast closure — the
 standard Spark mechanism for sub-megabyte read-only state;
-8x256x8 int64 = 128 KB):
+16x256x4 int64 = 128 KB):
 
 - **train** (train_codebooks_kmeans): per-subspace Lloyd k-means in
   exact int64 arithmetic (floor-div centroid updates, argmin ties to
@@ -91,6 +92,10 @@ def kmeans_int(sample: np.ndarray, k: int, iters: int) -> np.ndarray:
     clusters keep their previous centroid.  Init = the first k
     sample rows (the engine's seed-row convention)."""
     sample = sample.astype(np.int64, copy=False)
+    if sample.shape[0] < k:
+        raise ValueError(
+            f"k-means needs >= k training rows: got {sample.shape[0]} "
+            f"< k={k} (raise train_n or lower ksub/n_cells)")
     cents = sample[:k].copy()
     for _ in range(iters):
         assign = np.argmin(_sq_dists(sample, cents), axis=1)
@@ -221,25 +226,35 @@ def coarse_probes(q: np.ndarray, seeds: np.ndarray,
 
 
 def pq_luts(q: np.ndarray, books: np.ndarray, seeds: np.ndarray,
-            probes: np.ndarray) -> np.ndarray:
-    """(n_q, n_cells, m, ksub) int64 residual ADC lookup tables:
-    lut[qid, c, j, k] = || (q_qid - seeds[c])_sub_j - books[j][k] ||^2,
-    filled only for each query's probed cells (candidates can only
-    arrive from those).  Dense over cells for the O(1) gather in the
-    scoring kernel — 16 MB at the fixture shape; a cluster-scale
-    deployment with n_cells in the thousands would keep the
-    (qid, cell)->row indirection instead."""
+            probes: np.ndarray):
+    """Compact residual ADC lookup tables: an (n_q * nprobe, m, ksub)
+    int64 block — one row per PROBED (query, cell) pair — plus an
+    (n_q, n_cells) int32 row map (-1 for unprobed cells, which the
+    scoring kernel can never see: candidates only arrive through the
+    broadcast (qid, cell) probe join).
+    luts[rowmap[qid, c], j, k] = ||(q_qid - seeds[c])_sub_j - books[j][k]||^2.
+    The compact block is what ships in the mapInPandas closure —
+    n_q*nprobe rows instead of a dense n_q*n_cells cube (~8x smaller
+    at the registered nprobe=8/n_cells=64 shape, and INDEPENDENT of
+    n_cells, so a cluster-scale deployment with thousands of cells
+    pays only for what it probes); the gather stays O(1) via the
+    tiny row map."""
     m, ksub, sub = books.shape
     q = q.astype(np.int64, copy=False)
     seeds = seeds.astype(np.int64, copy=False)
-    out = np.zeros((q.shape[0], seeds.shape[0], m, ksub), np.int64)
-    for qid in range(q.shape[0]):
+    n_q, nprobe = probes.shape
+    luts = np.zeros((n_q * nprobe, m, ksub), np.int64)
+    rowmap = np.full((n_q, seeds.shape[0]), -1, np.int32)
+    row = 0
+    for qid in range(n_q):
         for c in probes[qid]:
             r = q[qid] - seeds[c]
-            out[qid, c] = np.stack([
+            luts[row] = np.stack([
                 _sq_dists(r[None, j * sub:(j + 1) * sub],
                           books[j])[0] for j in range(m)])
-    return out
+            rowmap[qid, c] = row
+            row += 1
+    return luts, rowmap
 
 
 def _adc_scored(spark: SparkSession, encoded: DataFrame,
@@ -254,8 +269,8 @@ def _adc_scored(spark: SparkSession, encoded: DataFrame,
     from geographiclib_go_spark.functions.localdf import literal_df
 
     probes = coarse_probes(q.astype(np.int64), seeds, nprobe)
-    luts = pq_luts(q.astype(np.int64), books.astype(np.int64),
-                   seeds, probes)
+    luts, rowmap = pq_luts(q.astype(np.int64),
+                           books.astype(np.int64), seeds, probes)
     pairs = [(qid, int(c))
              for qid in range(q.shape[0]) for c in probes[qid]]
     pframe = literal_df(spark, pairs, "qid int, cell int")
@@ -279,7 +294,8 @@ def _adc_scored(spark: SparkSession, encoded: DataFrame,
             codes = np.stack(pdf["code"].to_numpy()).astype(np.int64)
             qids = pdf["qid"].to_numpy(np.int64)
             cells = pdf["cell"].to_numpy(np.int64)
-            adc = luts[qids[:, None], cells[:, None], jj, codes].sum(
+            rows = rowmap[qids, cells]
+            adc = luts[rows[:, None], jj, codes].sum(
                 axis=1, dtype=np.int64)
             yield pd.DataFrame({
                 "qid": qids,

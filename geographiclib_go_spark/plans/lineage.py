@@ -226,9 +226,12 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
     rewrite_data_files(binpack) contract with plain snapshots.
 
     The target file count defaults to total-bytes / target_file_bytes;
-    reducing uses ``coalesce`` (no exchange — partitions concatenate),
-    with ``repartition`` only when a clustering ``partition_by`` is
-    requested.  Data-preserving by VERIFICATION, not trust: row count
+    that DERIVED target reduces via ``coalesce`` (no exchange —
+    partitions concatenate; the exact count is approximate since the
+    scan may bin-pack small files below the file count, which only
+    makes output files larger than target).  An EXPLICIT
+    ``target_files`` or a clustering ``partition_by`` uses
+    ``repartition`` so the requested layout is honored exactly.  Data-preserving by VERIFICATION, not trust: row count
     and the order-insensitive global xor-of-row-hashes checksum must
     match the source snapshot before the pointer swaps; on mismatch
     the new snapshot stays uncommitted (expire_snapshots sweeps it)
@@ -244,7 +247,8 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
                            "data")
     old_files = _data_files(old_dir)
     df = spark.read.parquet(old_dir)
-    if target_files is None:
+    derived = target_files is None
+    if derived:
         total = sum(os.path.getsize(f) for f in old_files)
         target_files = max(1, -(-total // target_file_bytes))
     old_count, old_sum = cur["rows"], _global_checksum(df)
@@ -254,13 +258,18 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
     t0 = time.time()
     if partition_by:
         packed = df.repartition(target_files, *partition_by)
-    elif target_files < len(old_files):
-        # fewer outputs than current files: concatenate without an
-        # exchange (read partitions track the file listing for these
-        # sub-split-size snapshot files, so the file count is the
-        # honest reduction test — and costs no df.rdd conversion)
+    elif derived and target_files < len(old_files):
+        # bin-packing's own target: concatenate without an exchange.
+        # coalesce can only REDUCE the scan's read-partition count
+        # (which may already bin-pack small files below the file
+        # count), so the exact output count is approximate — fine
+        # here, where the target is itself a size heuristic, and
+        # undershooting only means larger-than-target files.
         packed = df.coalesce(target_files)
     else:
+        # an EXPLICIT target_files is a caller-requested layout:
+        # honor it exactly (repartition), never the coalesce
+        # under-delivery above
         packed = df.repartition(target_files)
     writer = packed.write.mode("overwrite")
     if partition_by:

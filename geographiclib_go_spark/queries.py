@@ -1713,8 +1713,10 @@ def image_tile_rebalance(spark, sf_dir):
     across 32 salt groups, so no single task ever sorts a whole hot
     tile and the plan survives a hot cell at any scale (an UNSALTED
     window row_number() <= k would move each tile to ONE partition).
-    Tile totals come from a separate partial-aggregated count — a
-    long counter per task, never a collection.  Output: overflowing
+    Tile totals ride the SAME (tile, salt) exchange as the ranking
+    window (an unordered count window; each group's rn==1 survivor
+    carries the group count to the merge) — one scan of the Arrow
+    index stage, never a collection.  Output: overflowing
     tiles only, with the kept id list pinned (array_join) so the
     hash gate proves the salted two-phase merge equals the oracle's
     plain window ranking."""
@@ -1722,18 +1724,28 @@ def image_tile_rebalance(spark, sf_dir):
     cap, salt = 8, 32
     idx = im.generate_image_index(spark, _IMG_QUERY_N)
     tiled = tiling.assign_tiles(idx, 6).select("tile_id", "image_id")
-    totals = (tiled.groupBy("tile_id")
-              .agg(F.count("*").cast("long").alias("n_total")))
+    # ONE scan of the generator chain: the per-salt-group total rides
+    # the same (tile_id, _s) exchange as the ranking window (count
+    # needs no order, so it is a second Window node over the SAME
+    # partitioning — no extra shuffle and no second derivation of
+    # the Arrow index stage), and each group's rn==1 survivor
+    # carries its group count into the phase-2 merge, where the
+    # per-tile total is their sum.
     w = Window.partitionBy("tile_id", "_s").orderBy("image_id")
+    wc = Window.partitionBy("tile_id", "_s")
     survivors = (tiled
                  .withColumn("_s", F.pmod(F.xxhash64("image_id"),
                                           F.lit(salt)))
+                 .withColumn("_cnt", F.count("*").over(wc))
                  .withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= cap))
     merged = (survivors.groupBy("tile_id")
               .agg(F.slice(F.sort_array(F.collect_list("image_id")),
-                           1, cap).alias("keep")))
-    return (merged.join(totals, "tile_id")
+                           1, cap).alias("keep"),
+                   F.sum(F.when(F.col("_rn") == 1, F.col("_cnt"))
+                         .otherwise(F.lit(0)))
+                   .cast("long").alias("n_total")))
+    return (merged
             .filter(F.col("n_total") > cap)
             .select("tile_id", "n_total",
                     F.size("keep").cast("long").alias("n_kept"),
@@ -2348,7 +2360,7 @@ def _pq256_artifacts():
 
 def emb_ivfpq256_topk(spark, sf_dir):
     """IVF-PQ at REALISTIC parameters (operators/pq_arrow): ksub=256
-    codes per sub-space, m=8 sub-spaces, k-means-TRAINED codebooks
+    codes per sub-space, m=16 sub-spaces, k-means-TRAINED codebooks
     and coarse quantizer — the FAISS IndexIVFPQ shape that closes
     VERDICT r4's toy-quantizer weakness.  The corpus is the 100k-row
     deterministic clustered vector table (sources/vectors — the

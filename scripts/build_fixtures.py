@@ -398,7 +398,7 @@ def build_images_flipped(n: int = 5000, out_dir: str = None) -> str:
 
 def build_pq256_topk(out_dir: str = None) -> str:
     """(qid, vec_id, adc, rank) — the full IVF-PQ probe at realistic
-    parameters (ksub=256, m=8, k-means-trained codebooks) replayed
+    parameters (ksub=256, m=16, k-means-trained codebooks) replayed
     INDEPENDENTLY in numpy over the entire 100k-vector deterministic
     corpus: train on the bounded sample, encode every vector, probe
     each query's nprobe cells, ADC-score, rank with ties to the

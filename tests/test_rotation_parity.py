@@ -22,7 +22,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# the 10 r3-green queries pushed past the r5 draw cap — the only
+# the 11 r3-green queries pushed past the r5 draw cap — the only
 # registered entries whose newest official driver row will predate
 # round 4 after this round (see __spark_entry__.queries() ordering)
 ROTATED_OUT = [
