@@ -174,3 +174,81 @@ def test_corridor_gate_recovers_from_checkpoint(spark, tmp_path):
            for _, r in ev.iterrows()}
     assert got == want
     assert len(got) == len(ev)  # exactly-once: no duplicate rows
+
+
+def test_pq256_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_pq256_near_dup_events killed between micro-batches
+    and restarted from its checkpoint must emit exactly the
+    independent numpy replay's (qid, vec_id, adc) event set over ALL
+    arrivals — the vector-ingest face gets the same no-loss/no-dupes
+    guarantee as the text and corridor gates."""
+    from geographiclib_go_spark.operators import pq_arrow as pqa
+    from geographiclib_go_spark.sources import vectors as vx
+
+    n, dim, m, ksub, cells, nprobe = 2000, 64, 16, 32, 8, 3
+    sample = vx.q_for_ids(np.arange(512), dim)
+    seeds = pqa.train_coarse_kmeans(sample, cells, 2)
+    books = pqa.train_codebooks_kmeans(sample, m, ksub, 2,
+                                       seeds=seeds)
+    enc = pqa.ivfpq_encode_arrow(
+        vx.generate_vectors(spark, n, dim), books, seeds)
+    enc.write.mode("overwrite").parquet(str(tmp_path / "enc"))
+    encoded = spark.read.parquet(str(tmp_path / "enc"))
+
+    import pandas as pd
+
+    arr_ids = np.arange(n, n + 30)
+    ax = vx.q_for_ids(arr_ids, dim)
+    pdf = pd.DataFrame({"vid": arr_ids.astype(np.int64),
+                        "q": list(ax)})
+
+    # numpy replay over ALL arrivals: per vector, candidates from its
+    # nprobe cells, exact reconstruction distance
+    x = vx.q_for_ids(np.arange(n), dim)
+    cell, codes = pqa.numpy_encode(x, books, seeds)
+    b, s = books.astype(np.int64), seeds.astype(np.int64)
+    sub = dim // m
+    recon = s[cell].copy()
+    for j in range(m):
+        recon[:, j * sub:(j + 1) * sub] += b[j][codes[:, j]]
+    probes = pqa.coarse_probes(ax, s, nprobe)
+    want, adcs = set(), []
+    for t, qid in enumerate(arr_ids):
+        cand = np.nonzero(np.isin(cell, probes[t]))[0]
+        d = ax[t] - recon[cand]
+        adc = (d * d).sum(axis=1, dtype=np.int64)
+        adcs.extend(adc.tolist())
+        for i, a in zip(cand, adc):
+            want.add((int(qid), int(i), int(a)))
+    max_adc = int(np.quantile(np.array(adcs), 0.05))
+    want = {w for w in want if w[2] <= max_adc}
+    assert want
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(pdf.iloc[:15]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema("vid long, q array<long>")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_pq256_near_dup_events(
+            stream, encoded, books, seeds, max_adc=max_adc,
+            nprobe=nprobe)
+
+    # leg 1: drain b0, STOP; b1 lands while nothing runs; restart
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+    spark.createDataFrame(pdf.iloc[15:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert len(ev) > leg1
+    got = {(int(r.qid), int(r.vec_id), int(r.adc))
+           for _, r in ev.iterrows()}
+    assert got == want
+    assert len(got) == len(ev)  # exactly-once: no duplicate rows
