@@ -81,6 +81,63 @@ def extract_features(images: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, FEATURE_SCHEMA)
 
 
+EMBED_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("embedding", T.ArrayType(T.LongType(), False), True),
+])
+
+
+def pixel_embeddings(images: DataFrame) -> DataFrame:
+    """Decode -> 64-dim INTEGER pixel embedding over Arrow batches:
+    an 8x8 grid of per-block sums of (r+g+b) on the decoded pixels,
+    scaled by 1024 // (w*h) so different source resolutions share one
+    magnitude (the same average-pool construction as the perceptual
+    hash, kept real-valued instead of thresholded to bits).  Exact
+    int64 components mean squared-L2 distances between any two
+    embeddings are exact BIGINTs — the property the image_embed_knn
+    hash oracle leans on.  Rows whose codec is unavailable degrade to
+    a NULL embedding instead of failing the batch (the flip_images
+    contract).
+
+    Scale shape: ONE map-only Python stage (decode dominates; bytes
+    never shuffle), and the output is a plain (id, vector) column —
+    the existing ANN scale paths (similarity.ivf_topk, the IVF-PQ
+    snapshot) consume it unchanged.  Batches group by (h, w) so the
+    pooling is whole-batch numpy, not per-row."""
+    cols = images.select("image_id", "bytes", "fmt", "w", "h")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["image_id"].to_numpy(object)
+            emb = np.empty(n, dtype=object)
+            for (hh, ww), grp in pdf.groupby(["h", "w"], sort=False):
+                dec, ok = [], []
+                for t in grp.index:
+                    try:
+                        dec.append(im.decode_image(
+                            bytes(grp["bytes"].loc[t]),
+                            grp["fmt"].loc[t]))
+                        ok.append(t)
+                    except NotImplementedError:
+                        pass  # NULL embedding, row kept
+                if not ok:
+                    continue
+                pix = np.stack(dec)                       # (g, h, w, 3)
+                rgb = pix.astype(np.int64).sum(axis=-1)
+                bh, bw = hh // 8, ww // 8
+                blocks = rgb.reshape(-1, 8, bh, 8, bw).sum(axis=(2, 4))
+                vecs = blocks.reshape(-1, 64) * (1024 // (hh * ww))
+                pos = {t: i for i, t in enumerate(pdf.index)}
+                for gi, t in enumerate(ok):
+                    emb[pos[t]] = vecs[gi].tolist()
+            yield pd.DataFrame({"image_id": ids, "embedding": emb})
+
+    return cols.mapInPandas(run, EMBED_SCHEMA)
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize, re-encoded as PPM.  Demonstrates the
     binary->binary transform shape (decode, transform, encode inside

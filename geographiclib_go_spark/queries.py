@@ -1795,6 +1795,56 @@ def image_augment_flip(spark, sf_dir):
             .orderBy("image_id"))
 
 
+_EMBED_Q_MOD = 157   # ~32 probe images out of _IMG_QUERY_N
+_EMBED_K = 5
+
+
+def image_embed_knn(spark, sf_dir):
+    """The decode -> embed -> similarity bridge: every image's bytes
+    are codec-decoded and pooled into a 64-dim INTEGER pixel
+    embedding (multimodal.pixel_embeddings — the average-hash
+    construction kept real-valued), then each probe image retrieves
+    its 5 nearest neighbours by squared-L2 distance.  This is the
+    step that turns the image PAYLOAD into the vector column the ANN
+    family indexes — until here embeddings came from a table;
+    here they come from pixels, under the same hash gate.
+
+    Distances are exact BIGINTs (integer components, max SSD ~ 1e10
+    << 2^53), so rank boundaries cannot flake cross-engine; ties
+    break on image_id.  Plan shape: ONE map-only decode+embed stage
+    over the corpus, probe side broadcast, partial top-k per qid —
+    the brute-force baseline the similarity family mandates; the
+    output vector column feeds similarity.ivf_topk / the IVF-PQ
+    snapshot unchanged when n makes brute force wrong (the probe
+    side here re-derives its 32 embeddings from the generator; on a
+    stored table it would be a pruned scan).  Oracle: DuckDB replays
+    the FULL kNN (cross join, list_dot_product polarization,
+    ROW_NUMBER) from the pinned independent-numpy embedding fixture
+    (images_embed.parquet, images.pixel_embed_for_ids — reduceat
+    pooling vs the UDF's reshape-sum), so the hash gate pins decode,
+    pooling, scaling, distance, and ranking end to end."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    embs = mm.pixel_embeddings(imgs)
+    q = (embs.filter(F.substring("image_id", 5, 12).cast("long")
+                     % _EMBED_Q_MOD == 0)
+         .select(F.col("image_id").alias("qid"),
+                 F.col("embedding").alias("_qe")))
+    ssd = F.aggregate(
+        F.zip_with(F.col("_qe"), F.col("embedding"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    j = (embs.join(F.broadcast(q), F.col("image_id") != F.col("qid"))
+         .withColumn("ssd", ssd))
+    w = Window.partitionBy("qid").orderBy(F.col("ssd").asc(),
+                                          F.col("image_id").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _EMBED_K)
+            .select("qid", "image_id", "ssd", "rank")
+            .orderBy("qid", "rank"))
+
+
 _CORRIDOR_M = 400e3
 _CORRIDOR_RES = 6
 
@@ -3989,6 +4039,26 @@ ORACLE_SQL["tile_image_brightness"] = """
     GROUP BY t.tile_id
     ORDER BY t.tile_id
 """.format(fix=_FIXTURE_DIR)
+
+ORACLE_SQL["image_embed_knn"] = """
+    WITH e AS (SELECT image_id, embedding
+               FROM '{fix}/images_embed.parquet'),
+    q AS (SELECT image_id AS qid, embedding AS qe FROM e
+          WHERE CAST(SUBSTR(image_id, 5) AS BIGINT) % {qmod} = 0),
+    d AS (SELECT q.qid, e.image_id,
+                 CAST(list_dot_product(qe, qe)
+                      - 2 * list_dot_product(qe, e.embedding)
+                      + list_dot_product(e.embedding, e.embedding)
+                      AS BIGINT) AS ssd
+          FROM q, e WHERE e.image_id <> q.qid),
+    r AS (SELECT qid, image_id, ssd,
+                 CAST(ROW_NUMBER() OVER
+                      (PARTITION BY qid ORDER BY ssd, image_id)
+                      AS INT) AS rank
+          FROM d)
+    SELECT qid, image_id, ssd, rank FROM r WHERE rank <= {k}
+    ORDER BY qid, rank
+""".format(fix=_FIXTURE_DIR, qmod=_EMBED_Q_MOD, k=_EMBED_K)
 
 ORACLE_SQL["image_zonal_stats"] = """
     SELECT z.zone_id,

@@ -305,6 +305,43 @@ def resized_pix_sums_for_ids(ids: np.ndarray, out_w: int = 16,
     return out
 
 
+def pixel_embed_for_ids(ids: np.ndarray, sizes=(16, 32),
+                        lossy_pct: int = 30) -> np.ndarray:
+    """Driver-side ground truth for the pixel embedding
+    (operators/multimodal.pixel_embeddings): the 64-dim INTEGER
+    block-sum vector of each image's STORED pixels — an 8x8 grid of
+    per-block sums of (r+g+b), scaled by 1024 // (w*h) so a 16px and
+    a 32px image land on the same per-block "mean(r+g+b) x 16" scale
+    and distances are size-comparable.  Every component is an exact
+    int64, so squared-L2 distances between embeddings are exact
+    BIGINTs cross-engine.  Pooling here uses np.add.reduceat (the
+    engine UDF uses an 8x8 reshape-sum) so the fixture is an
+    independent implementation of the same definition.  Pins
+    images_embed.parquet for queries.image_embed_knn."""
+    ids = np.asarray(ids).astype(np.uint64)
+    out = np.zeros((ids.size, 64), np.int64)
+    size_pick = (splitmix64(ids ^ np.uint64(7))
+                 % np.uint64(len(sizes))).astype(np.int64)
+    lossy = (splitmix64(ids ^ np.uint64(13))
+             % np.uint64(100)) < np.uint64(lossy_pct)
+    for si, wh in enumerate(sizes):
+        m = size_pick == si
+        if not m.any():
+            continue
+        pix = _pixels_for(ids[m], wh, wh)
+        q = 8
+        qpix = ((pix.astype(np.int32) // q) * q + q // 2) \
+            .clip(0, 255).astype(np.uint8)
+        eff = np.where(lossy[m][:, None, None, None], qpix, pix)
+        rgb = eff.astype(np.int64).sum(axis=-1)          # (n, wh, wh)
+        b = wh // 8
+        cuts = np.arange(0, wh, b)
+        rows = np.add.reduceat(rgb, cuts, axis=1)        # (n, 8, wh)
+        blocks = np.add.reduceat(rows, cuts, axis=2)     # (n, 8, 8)
+        out[m] = blocks.reshape(-1, 64) * (1024 // (wh * wh))
+    return out
+
+
 def flipped_wsums_for_ids(ids: np.ndarray, sizes=(16, 32),
                           lossy_pct: int = 30) -> np.ndarray:
     """Driver-side ground truth for the horizontal-flip augmentation

@@ -186,6 +186,24 @@ def build_images_invariants(n: int = 5000, out_dir: str = None) -> str:
     return path
 
 
+def build_images_embed(n: int = 5000, out_dir: str = None) -> str:
+    """(image_id, embedding BIGINT[64]) — the integer pixel-embedding
+    ground truth (images.pixel_embed_for_ids: stored-pixel block sums
+    via np.add.reduceat, an independent pooling implementation from
+    the engine UDF's reshape-sum).  Pins the image_embed_knn oracle:
+    DuckDB replays the full kNN from these vectors."""
+    from geographiclib_go_spark.sources import images as im
+    ids = np.arange(n, dtype=np.uint64)
+    emb = im.pixel_embed_for_ids(ids)
+    tbl = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "embedding": pa.array(emb.tolist(), type=pa.list_(pa.int64())),
+    })
+    path = os.path.join(out_dir or FIXTURE_DIR, "images_embed.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
 def build_images_tiles(n: int = 5000, res: int = 6,
                        out_dir: str = None) -> str:
     """(image_id, tile_id) — pure-numpy replication of the generator's
@@ -576,6 +594,8 @@ def main():
     print("wrote", p5)
     p5t = build_images_tiles()
     print("wrote", p5t)
+    p5e = build_images_embed()
+    print("wrote", p5e)
     p5z = build_images_zones()
     print("wrote", p5z)
     p5r = build_images_resized()

@@ -143,3 +143,58 @@ def test_image_quality_gate_matches_fixture_replay(spark):
     # some dark lossy rows; lossless rows all pass
     assert sum(v[1] for k, v in want.items() if k[0] == "jpeg-sim") > 0
     assert sum(v[1] for k, v in want.items() if k[0] == "ppm") == 0
+
+
+def test_pixel_embed_matches_numpy_replay(spark):
+    """The engine's decode->pool embedding (reshape-sum over Arrow
+    batches) equals the independent driver-side replay (reduceat
+    pooling) component for component, and the block sums conserve
+    mass: sum(embedding) == pix_sum * (1024 // (w*h)) row by row
+    against the invariants ground truth."""
+    n = 64
+    imgs = im.generate_images(spark, n)
+    got = {r.image_id: r.embedding
+           for r in mm.pixel_embeddings(imgs).collect()}
+    assert len(got) == n
+    ids = np.arange(n, dtype=np.uint64)
+    want = im.pixel_embed_for_ids(ids)
+    inv = im.row_invariants_for_ids(ids)
+    scale = np.where(inv["n_px"] == 3 * 16 * 16, 4, 1)
+    for i in range(n):
+        iid = f"img_{i:012d}"
+        e = np.asarray(got[iid], np.int64)
+        assert e.shape == (64,)
+        assert (e == want[i]).all(), iid
+        assert e.sum() == inv["pix_sum"][i] * scale[i], iid
+
+
+def test_images_embed_fixture_is_fresh():
+    path = os.path.join(FIXTURE_DIR, "images_embed.parquet")
+    pdf = duckdb.sql(
+        f"SELECT image_id, embedding FROM '{path}' ORDER BY image_id"
+    ).df()
+    assert len(pdf) == 5000
+    want = im.pixel_embed_for_ids(np.arange(5000, dtype=np.uint64))
+    got = np.stack(pdf["embedding"].to_numpy())
+    assert got.dtype == np.int64
+    assert (got == want).all()
+
+
+def test_image_embed_knn_matches_oracle(spark):
+    """The full decode->embed->broadcast-kNN query equals its DuckDB
+    oracle frame for frame (the same gate the driver runs), and every
+    neighbour list is exactly k long with strictly ranked SSDs."""
+    from geographiclib_go_spark import queries as Q
+
+    got = Q.image_embed_knn(spark, "/root/testdata/sf0.001").toPandas()
+    want = duckdb.sql(Q.ORACLE_SQL["image_embed_knn"]).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    g = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert (g["qid"] == w["qid"]).all()
+    assert (g["image_id"] == w["image_id"]).all()
+    assert (g["ssd"].to_numpy(np.int64)
+            == w["ssd"].to_numpy(np.int64)).all()
+    assert (g["rank"].to_numpy() == w["rank"].to_numpy()).all()
+    assert (g.groupby("qid").size() == 5).all()
