@@ -185,6 +185,42 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      queries, k, nprobe, centroids, vec_col, qid_col)
 
 
+def int_ivf_clusters(centroids, vec_col: str = "embedding",
+                     top: int = 1):
+    """Integer-exact IVF assignment as a pure JVM expression — the
+    coarse-quantizer twin of `assign_cluster_udf` for INTEGER vector
+    columns (e.g. multimodal.pixel_embeddings): squared-L2 distance
+    to each literal centroid is an exact BIGINT (no float anywhere,
+    so bucket boundaries replay hash-identically in any engine),
+    argmin via lexicographic struct-min with ties on centroid index,
+    and the whole thing stays inside whole-stage codegen — no Python
+    worker in the assignment path at all.
+
+    top=1 returns the nearest cluster id (index build); top=n returns
+    the ascending-distance cluster list (probe-side nprobe expansion).
+    Literal-expression cost grows O(n_centroids * dim): right for a
+    coarse quantizer's handful of cells, wrong for a ksub=256 codebook
+    — that shape lives in operators/pq_arrow's broadcast path."""
+    cents = np.asarray(centroids, dtype=np.int64)
+    vec = F.col(vec_col)
+    vv = F.aggregate(F.zip_with(vec, vec, lambda x, y: x * y),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    structs = []
+    for ci, c in enumerate(cents):
+        arr = F.array(*[F.lit(int(x)) for x in c])
+        dot = F.aggregate(F.zip_with(vec, arr, lambda x, y: x * y),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cc = int((c.astype(object) ** 2).sum())
+        ssd = vv - F.lit(2).cast("long") * dot + F.lit(cc).cast("long")
+        structs.append(F.struct(ssd.alias("ssd"),
+                                F.lit(ci).alias("cluster")))
+    options = F.array(*structs)
+    if top == 1:
+        return F.array_min(options)["cluster"]
+    return F.transform(F.slice(F.array_sort(options), 1, top),
+                       lambda s: s["cluster"])
+
+
 def hyperplane_sig_udf(dim: int, bits: int = 16, seed: int = 7):
     """Random-hyperplane LSH signature (int bucket id)."""
     rng = np.random.default_rng(seed)

@@ -1845,6 +1845,71 @@ def image_embed_knn(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+_IMG_IVF_SEEDS = (271, 853, 1427, 2003, 2617, 3181, 3779, 4409)
+_IMG_IVF_NPROBE = 3
+
+
+def image_embed_ivf_knn(spark, sf_dir):
+    """The decode -> embed -> INDEXED-ANN bridge — image_embed_knn's
+    scale path: the pixel embeddings (exact int64, same map-only
+    decode+pool stage) are coarse-quantized to 8 seed-row centroids
+    by an integer-exact squared-L2 argmin that runs ENTIRELY inside
+    whole-stage codegen (similarity.int_ivf_clusters — literal
+    centroid arrays, struct-min argmin, no Python worker in the
+    assignment), the assignment snapshots through plans/lineage
+    PARTITIONED BY cluster (the write-once/probe-many contract:
+    a rerun probes the committed parquet without re-decoding the
+    corpus), and each probe image explodes to its nprobe=3 nearest
+    cells and equi-joins ONLY those partitions — the partition-pruned
+    read that replaces image_embed_knn's full broadcast sweep when n
+    makes brute force wrong.  Every quantity end to end (centroid
+    distance, bucket boundary, candidate SSD, rank) is an exact
+    BIGINT, so the ENTIRE approximate algorithm — not just its output
+    on one lucky input — replays hash-identically in DuckDB: the
+    oracle re-derives the centroids from the pinned independent-numpy
+    embedding fixture (images_embed.parquet), re-assigns all 5000
+    vectors, re-probes, re-ranks.  Recall vs the exact brute force is
+    gated in tests/test_multimodal_transforms.py."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.plans import lineage as lin
+    from geographiclib_go_spark.sources import images as im
+    imgs = im.generate_images(spark, _IMG_QUERY_N)
+    embs = mm.pixel_embeddings(imgs)
+    # 8-row bounded planning probe: the seed centroids are the pinned
+    # images' own embeddings (re-derived through the same decode
+    # chain), the same seed-row convention as emb_ivf_topk.
+    seed_ids = [f"img_{i:012d}" for i in _IMG_IVF_SEEDS]
+    cent = np.array(
+        [r.embedding for r in
+         embs.filter(F.col("image_id").isin(seed_ids))
+         .orderBy("image_id").collect()], dtype=np.int64)
+    fp = (f"imgivf|n{_IMG_QUERY_N}"
+          f"|s{'-'.join(str(s) for s in _IMG_IVF_SEEDS)}")
+    index = lin.run_stage(
+        spark, _dedup_store_root(), "ivf_index_image_embeddings",
+        lambda: embs.withColumn("cluster", sim.int_ivf_clusters(cent)),
+        input_fingerprint=fp, partition_by=["cluster"])
+    q = (embs.filter(F.substring("image_id", 5, 12).cast("long")
+                     % _EMBED_Q_MOD == 0)
+         .select(F.col("image_id").alias("qid"),
+                 F.col("embedding").alias("_qe"))
+         .withColumn("cluster", F.explode(sim.int_ivf_clusters(
+             cent, vec_col="_qe", top=_IMG_IVF_NPROBE))))
+    ssd = F.aggregate(
+        F.zip_with(F.col("_qe"), F.col("embedding"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    j = (index.join(F.broadcast(q), "cluster")
+         .filter(F.col("image_id") != F.col("qid"))
+         .withColumn("ssd", ssd))
+    w = Window.partitionBy("qid").orderBy(F.col("ssd").asc(),
+                                          F.col("image_id").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _EMBED_K)
+            .select("qid", "image_id", "ssd", "rank")
+            .orderBy("qid", "rank"))
+
+
 _CORRIDOR_M = 400e3
 _CORRIDOR_RES = 6
 
@@ -4059,6 +4124,60 @@ ORACLE_SQL["image_embed_knn"] = """
     SELECT qid, image_id, ssd, rank FROM r WHERE rank <= {k}
     ORDER BY qid, rank
 """.format(fix=_FIXTURE_DIR, qmod=_EMBED_Q_MOD, k=_EMBED_K)
+
+# IVF bridge: the oracle replays the WHOLE approximate algorithm —
+# seed-row centroid derivation, integer argmin bucket assignment of
+# all 5000 vectors, nprobe expansion, candidate SSD, rank — because
+# every step is exact BIGINT arithmetic (list_dot_product on int64
+# lists is exact below 2^53).  Tie-breaks match the engine exactly:
+# (cssd, cluster) for assignment, (ssd, image_id) for ranking.
+ORACLE_SQL["image_embed_ivf_knn"] = """
+    WITH e AS (SELECT image_id, embedding
+               FROM '{fix}/images_embed.parquet'),
+    c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY image_id) - 1
+                      AS INT) AS cluster,
+                 embedding AS ce
+          FROM e
+          WHERE CAST(SUBSTR(image_id, 5) AS BIGINT) IN ({seeds})),
+    ad AS (SELECT e.image_id, e.embedding, c.cluster,
+                  CAST(list_dot_product(e.embedding, e.embedding)
+                       - 2 * list_dot_product(e.embedding, c.ce)
+                       + list_dot_product(c.ce, c.ce) AS BIGINT)
+                      AS cssd
+           FROM e, c),
+    a AS (SELECT image_id, embedding, cluster
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id
+                          ORDER BY cssd, cluster) AS rn FROM ad)
+          WHERE rn = 1),
+    q AS (SELECT image_id AS qid, embedding AS qe FROM e
+          WHERE CAST(SUBSTR(image_id, 5) AS BIGINT) % {qmod} = 0),
+    qd AS (SELECT q.qid, q.qe, c.cluster,
+                  CAST(list_dot_product(q.qe, q.qe)
+                       - 2 * list_dot_product(q.qe, c.ce)
+                       + list_dot_product(c.ce, c.ce) AS BIGINT)
+                      AS cssd
+           FROM q, c),
+    qp AS (SELECT qid, qe, cluster
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cssd, cluster) AS rn FROM qd)
+           WHERE rn <= {nprobe}),
+    d AS (SELECT qp.qid, a.image_id,
+                 CAST(list_dot_product(qp.qe, qp.qe)
+                      - 2 * list_dot_product(qp.qe, a.embedding)
+                      + list_dot_product(a.embedding, a.embedding)
+                      AS BIGINT) AS ssd
+          FROM qp JOIN a USING (cluster)
+          WHERE a.image_id <> qp.qid),
+    r AS (SELECT qid, image_id, ssd,
+                 CAST(ROW_NUMBER() OVER
+                      (PARTITION BY qid ORDER BY ssd, image_id)
+                      AS INT) AS rank
+          FROM d)
+    SELECT qid, image_id, ssd, rank FROM r WHERE rank <= {k}
+    ORDER BY qid, rank
+""".format(fix=_FIXTURE_DIR,
+           seeds=",".join(str(s) for s in _IMG_IVF_SEEDS),
+           qmod=_EMBED_Q_MOD, nprobe=_IMG_IVF_NPROBE, k=_EMBED_K)
 
 ORACLE_SQL["image_zonal_stats"] = """
     SELECT z.zone_id,

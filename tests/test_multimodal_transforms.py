@@ -198,3 +198,63 @@ def test_image_embed_knn_matches_oracle(spark):
             == w["ssd"].to_numpy(np.int64)).all()
     assert (g["rank"].to_numpy() == w["rank"].to_numpy()).all()
     assert (g.groupby("qid").size() == 5).all()
+
+
+def test_int_ivf_clusters_matches_numpy_argmin(spark):
+    """The JVM-expression integer IVF assignment (both the top-1 index
+    form and the top-n probe form) equals an independent numpy
+    squared-L2 argmin over the pinned embedding fixture — including
+    the (ssd, cluster) lexicographic tie-break and the ascending
+    probe order."""
+    from pyspark.sql import functions as F
+
+    from geographiclib_go_spark.operators import similarity as sim
+    from geographiclib_go_spark import queries as Q
+
+    path = os.path.join(FIXTURE_DIR, "images_embed.parquet")
+    pdf = duckdb.sql(
+        f"SELECT image_id, embedding FROM '{path}' ORDER BY image_id"
+    ).df()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.int64)
+    seed_ids = [f"img_{i:012d}" for i in Q._IMG_IVF_SEEDS]
+    cent = X[pdf["image_id"].isin(seed_ids).to_numpy()]
+    # object dtype keeps the arithmetic exact-int (no silent wrap)
+    d = ((X[:, None, :].astype(object)
+          - cent[None, :, :].astype(object)) ** 2).sum(axis=2)
+    order = np.argsort(d, axis=1, kind="stable")  # ties -> low index
+
+    df = spark.createDataFrame(pdf[["image_id", "embedding"]])
+    got = (df.withColumn("c1", sim.int_ivf_clusters(cent))
+           .withColumn("c3", sim.int_ivf_clusters(cent, top=3))
+           .orderBy("image_id").toPandas())
+    assert (got["c1"].to_numpy() == order[:, 0]).all()
+    got3 = np.stack(got["c3"].to_numpy())
+    assert (got3 == order[:, :3]).all()
+
+
+def test_image_embed_ivf_knn_oracle_and_recall(spark):
+    """The indexed ANN bridge equals its full-algorithm-replay DuckDB
+    oracle frame for frame, and its recall@5 against the exact
+    brute-force twin (image_embed_knn's oracle) is perfect on this
+    corpus — measured 1.0, gated at >= 0.9 so a regenerated fixture
+    cannot silently fail the gate on one boundary row."""
+    from geographiclib_go_spark import queries as Q
+
+    got = Q.image_embed_ivf_knn(spark, "/root/testdata/sf0.001") \
+        .toPandas()
+    want = duckdb.sql(Q.ORACLE_SQL["image_embed_ivf_knn"]).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    g = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert (g["qid"] == w["qid"]).all()
+    assert (g["image_id"] == w["image_id"]).all()
+    assert (g["ssd"].to_numpy(np.int64)
+            == w["ssd"].to_numpy(np.int64)).all()
+    assert (g.groupby("qid").size() == 5).all()
+
+    exact = duckdb.sql(Q.ORACLE_SQL["image_embed_knn"]).df()
+    ex = exact.groupby("qid")["image_id"].agg(set)
+    iv = g.groupby("qid")["image_id"].agg(set)
+    recalls = [len(ex[q] & iv[q]) / len(ex[q]) for q in ex.index]
+    assert np.mean(recalls) >= 0.9

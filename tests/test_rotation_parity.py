@@ -22,17 +22,20 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# the 12 r3-green queries pushed past the r5 draw cap — the only
+# the 13 r3-green queries pushed past the r5 draw cap — the only
 # registered entries whose newest official driver row will predate
 # round 4 after this round (see __spark_entry__.queries() ordering).
 # ellip_route_nearest joined the list when image_embed_knn entered
-# the draw; besides this gate it is also pinned by the fixture-
-# freshness + intercept-kernel pytests (tests/test_spatial_spark.py).
+# the draw (besides this gate it is also pinned by the fixture-
+# freshness + intercept-kernel pytests, tests/test_spatial_spark.py);
+# route_distance joined when image_embed_ivf_knn entered (also pinned
+# by the cross-track kernel pytests in tests/test_spatial_spark.py).
 ROTATED_OUT = [
     "rollup_order_volume", "cube_order_volume", "part_type_pivot",
     "part_type_unpivot", "sphere_distance_buckets", "tile_counts",
     "tile_pyramid", "events_props_sum", "events_moving_window",
     "track_bearing_rose", "events_hourly", "ellip_route_nearest",
+    "route_distance",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
