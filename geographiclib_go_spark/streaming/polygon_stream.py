@@ -637,3 +637,52 @@ def streaming_vector_qa_events(vec_stream: DataFrame,
                         F.abs(F.col("n2") - unit)
                         <= sim.QGATE_NORM_TOL)
             .withColumn("spiky", F.col("qmax") >= sim.QGATE_SPIKE))
+
+
+def streaming_image_embed_events(image_stream: DataFrame,
+                                 index: DataFrame,
+                                 centroids,
+                                 max_ssd: int,
+                                 nprobe: int = 3) -> DataFrame:
+    """Streaming ingest-time embedding near-dup gate over IMAGE BYTES
+    — the readStream face of queries.image_embed_ivf_knn, and the
+    last link in the decode->embed->ANN chain's streaming story:
+    arriving images are decoded and pooled into integer pixel
+    embeddings IN FLIGHT (multimodal.pixel_embeddings, the one
+    map-only Python stage; rows whose codec is unavailable degrade to
+    NULL and are dropped here, the flip_images contract), coarse-
+    quantized to their nprobe nearest cells by the SAME pure-JVM
+    integer argmin the batch index uses (similarity.int_ivf_clusters
+    — shared expression, so batch and stream cannot drift), and
+    probed against the PERSISTED cluster-partitioned IVF snapshot
+    with a stream-static equi-join — append-safe, stateless, the
+    corpus never re-decoded.
+
+    Emits (image_id, matched_id, ssd) for every candidate within
+    exact integer squared-L2 max_ssd — a THRESHOLD, not a top-k,
+    because a top-k over an append stream is not append-safe while a
+    threshold is (the streaming_pq_near_dup_events contract).
+    Absence of an event means the image is embedding-novel; that
+    fold belongs to the consumer.  Batch parity and an independent
+    numpy replay are pytest-gated."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.operators import similarity as sim
+
+    embs = (mm.pixel_embeddings(image_stream)
+            .filter(F.col("embedding").isNotNull())
+            .withColumnRenamed("embedding", "_qe"))
+    probe = embs.withColumn(
+        "cluster", F.explode(sim.int_ivf_clusters(
+            centroids, vec_col="_qe", top=nprobe)))
+    idx = index.select(F.col("image_id").alias("matched_id"),
+                       F.col("embedding").alias("_cvec"),
+                       "cluster")
+    ssd = F.aggregate(
+        F.zip_with(F.col("_qe"), F.col("_cvec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (probe.join(idx, "cluster")
+            .filter(F.col("matched_id") != F.col("image_id"))
+            .withColumn("ssd", ssd)
+            .filter(F.col("ssd") <= F.lit(int(max_ssd)))
+            .select("image_id", "matched_id", "ssd"))

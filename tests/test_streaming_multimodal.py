@@ -479,3 +479,74 @@ def test_streaming_corridor_matches_batch_query(spark, tmp_path):
     got = {(r.image_id, int(r.seg), float(r.dist_r))
            for _, r in ev.iterrows()}
     assert got == want and len(got) == len(ev)  # set == batch, no dups
+
+
+def test_streaming_image_embed_events_matches_numpy_replay(spark, tmp_path):
+    """streaming_image_embed_events — image BYTES decoded + embedded
+    in flight, probed against the persisted cluster-partitioned IVF
+    snapshot — must emit EXACTLY the event set an independent numpy
+    replay of the whole chain produces (embed, integer argmin
+    assignment, nprobe expansion, threshold SSD), across multiple
+    micro-batches."""
+    from geographiclib_go_spark.operators import similarity as sim
+
+    n, split, max_ssd, nprobe = 1400, 1000, 200_000, 3
+    seeds = np.array([13, 157, 311, 487, 601, 733, 859, 977])
+    X = im.pixel_embed_for_ids(
+        np.arange(n, dtype=np.uint64)).astype(np.int64)
+    cent = X[seeds]
+
+    # persisted index: corpus images 0..999 embedded + assigned by
+    # the SAME JVM expression the gate uses, written cluster-
+    # partitioned (the batch side of write-once/probe-many)
+    corpus = im.generate_images(spark, split)
+    idx = (mm.pixel_embeddings(corpus)
+           .withColumn("cluster", sim.int_ivf_clusters(cent)))
+    idx.write.mode("overwrite").partitionBy("cluster") \
+        .parquet(str(tmp_path / "ivf_idx"))
+    index = spark.read.parquet(str(tmp_path / "ivf_idx"))
+
+    # arrivals 1000..1399 in two micro-batches of raw image rows
+    arrivals = im.generate_images(spark, n).filter(
+        F.substring("image_id", 5, 12).cast("long") >= split)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    arrivals.filter(F.substring("image_id", 5, 12).cast("long")
+                    < 1200).coalesce(1).write.parquet(str(src / "b0"))
+    arrivals.filter(F.substring("image_id", 5, 12).cast("long")
+                    >= 1200).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema(im.IMAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    out = ps.streaming_image_embed_events(stream, index, cent,
+                                          max_ssd=max_ssd,
+                                          nprobe=nprobe)
+    q = (out.writeStream.format("memory").queryName("img_embed_ev")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql("SELECT * FROM img_embed_ev").toPandas()
+    finally:
+        q.stop()
+
+    # independent numpy replay (object dtype = exact int, no wrap)
+    def order(V, top):
+        d = ((V[:, None, :].astype(object)
+              - cent[None, :, :].astype(object)) ** 2).sum(axis=2)
+        return np.argsort(d, axis=1, kind="stable")[:, :top]
+
+    ca = order(X[:split], 1)[:, 0]
+    qa = order(X[split:], nprobe)
+    want = set()
+    for qi in range(n - split):
+        cand = np.where(np.isin(ca, qa[qi]))[0]
+        ssd = ((X[split + qi].astype(object)
+                - X[cand].astype(object)) ** 2).sum(axis=1)
+        for ci, s in zip(cand[ssd <= max_ssd], ssd[ssd <= max_ssd]):
+            want.add((f"img_{split + qi:012d}", f"img_{ci:012d}",
+                      int(s)))
+
+    got = {(r.image_id, r.matched_id, int(r.ssd))
+           for _, r in ev.iterrows()}
+    assert got == want
+    assert len(want) > 100  # the fixture carries real evidence
