@@ -252,3 +252,74 @@ def test_pq256_gate_recovers_from_checkpoint(spark, tmp_path):
            for _, r in ev.iterrows()}
     assert got == want
     assert len(got) == len(ev)  # exactly-once: no duplicate rows
+
+
+def test_image_embed_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_image_embed_events — the decode->embed->IVF-probe
+    ingest face — killed between micro-batches and restarted from its
+    checkpoint must emit exactly the independent numpy replay's
+    (image_id, matched_id, ssd) event set over ALL arrivals: the
+    restart neither re-decodes committed arrivals (no dupes) nor
+    drops the file that landed while the query was down (no loss)."""
+    from geographiclib_go_spark.operators import multimodal as mm
+    from geographiclib_go_spark.operators import similarity as sim
+
+    n, split, max_ssd, nprobe = 1400, 1000, 200_000, 3
+    seeds = np.array([13, 157, 311, 487, 601, 733, 859, 977])
+    X = im.pixel_embed_for_ids(
+        np.arange(n, dtype=np.uint64)).astype(np.int64)
+    cent = X[seeds]
+
+    idx = (mm.pixel_embeddings(im.generate_images(spark, split))
+           .withColumn("cluster", sim.int_ivf_clusters(cent)))
+    idx.write.mode("overwrite").partitionBy("cluster") \
+        .parquet(str(tmp_path / "ivf_idx"))
+    index = spark.read.parquet(str(tmp_path / "ivf_idx"))
+
+    def order(V, top):
+        d = ((V[:, None, :].astype(object)
+              - cent[None, :, :].astype(object)) ** 2).sum(axis=2)
+        return np.argsort(d, axis=1, kind="stable")[:, :top]
+
+    ca = order(X[:split], 1)[:, 0]
+    qa = order(X[split:], nprobe)
+    want = set()
+    for qi in range(n - split):
+        cand = np.where(np.isin(ca, qa[qi]))[0]
+        ssd = ((X[split + qi].astype(object)
+                - X[cand].astype(object)) ** 2).sum(axis=1)
+        for ci, s in zip(cand[ssd <= max_ssd], ssd[ssd <= max_ssd]):
+            want.add((f"img_{split + qi:012d}", f"img_{ci:012d}",
+                      int(s)))
+    assert want
+
+    arrivals = im.generate_images(spark, n).filter(
+        F.substring("image_id", 5, 12).cast("long") >= split)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    arrivals.filter(F.substring("image_id", 5, 12).cast("long")
+                    < 1200).coalesce(1).write.parquet(str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema(im.IMAGES_SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_image_embed_events(
+            stream, index, cent, max_ssd=max_ssd, nprobe=nprobe)
+
+    # leg 1: drain b0, STOP; b1 lands while nothing runs; restart
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+    arrivals.filter(F.substring("image_id", 5, 12).cast("long")
+                    >= 1200).coalesce(1).write.parquet(str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert len(ev) > leg1
+    got = {(r.image_id, r.matched_id, int(r.ssd))
+           for _, r in ev.iterrows()}
+    assert got == want
+    assert len(got) == len(ev)  # exactly-once: no duplicate rows
