@@ -152,15 +152,22 @@ def run_bench(sf_dir: str = None, cpus: str = None,
     n_gen = images.count()
     gen_s = time.time() - t0
 
-    t0 = time.time()
-    tiles = tiling.assign_tiles(
-        images.select("image_id", "phash", "lat", "lon"), tile_res=6)
-    near = nno.nearest_dim_join(tiles, pl.DEFAULT_LANDMARKS, k=1)
-    joined = (near.groupBy("tile_id", "nn_id")
-              .agg(F.count("*").alias("n_images"),
-                   F.approx_count_distinct("phash").alias("n_phash")))
-    n_out = joined.count()
-    pipe_s = time.time() - t0
+    # best-of-REPS like every other entry: the flagship is the graded
+    # north-rule number and was the only single-shot timing left — one
+    # noisy-neighbor landing on it misread throughput 2-3x (observed:
+    # 4.3 s one-shot vs a 1.4-1.9 s quiet floor on the same build).
+    pipe_s = None
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        tiles = tiling.assign_tiles(
+            images.select("image_id", "phash", "lat", "lon"), tile_res=6)
+        near = nno.nearest_dim_join(tiles, pl.DEFAULT_LANDMARKS, k=1)
+        joined = (near.groupBy("tile_id", "nn_id")
+                  .agg(F.count("*").alias("n_images"),
+                       F.approx_count_distinct("phash").alias("n_phash")))
+        n_out = joined.count()
+        dt = time.time() - t0
+        pipe_s = dt if pipe_s is None else min(pipe_s, dt)
     timings["images_pipeline"] = round(pipe_s, 3)
     images.unpersist()
 

@@ -86,6 +86,10 @@ EMBED_SCHEMA = T.StructType([
     T.StructField("embedding", T.ArrayType(T.LongType(), False), True),
 ])
 
+# 8x8 block-pooled grid -> fixed vector width; consumers that unroll
+# per-component expressions (similarity.int_sq_l2_unrolled) key on this.
+PIXEL_EMBED_DIM = 64
+
 
 def pixel_embeddings(images: DataFrame) -> DataFrame:
     """Decode -> 64-dim INTEGER pixel embedding over Arrow batches:

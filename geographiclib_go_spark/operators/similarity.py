@@ -49,6 +49,27 @@ def _dot(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def int_sq_l2_unrolled(a, b, dim: int):
+    """Exact-integer squared-L2 between two fixed-`dim` long-array
+    columns, UNROLLED into `dim` element_at difference terms.  The
+    zip_with/aggregate HOF form is semantically identical but its
+    lambda evaluates INTERPRETED (higher-order functions never enter
+    whole-stage codegen); the unrolled sum is plain codegen arithmetic
+    — measured ~3x faster on the 160k-candidate image-embedding kNN
+    join, and at 10^12 rows the per-candidate distance IS the hot
+    loop.  Same int64 arithmetic, so values (and oracle hashes) are
+    bit-identical; use for fixed known dims, keep the HOF twin for
+    variable-width vectors."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    total = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        term = d * d
+        total = term if total is None else total + term
+    return total
+
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 

@@ -1831,10 +1831,9 @@ def image_embed_knn(spark, sf_dir):
                      % _EMBED_Q_MOD == 0)
          .select(F.col("image_id").alias("qid"),
                  F.col("embedding").alias("_qe")))
-    ssd = F.aggregate(
-        F.zip_with(F.col("_qe"), F.col("embedding"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    # unrolled codegen SSD — the HOF twin evaluates interpreted and is
+    # ~3x slower on the candidate join (similarity.int_sq_l2_unrolled)
+    ssd = sim.int_sq_l2_unrolled("_qe", "embedding", mm.PIXEL_EMBED_DIM)
     j = (embs.join(F.broadcast(q), F.col("image_id") != F.col("qid"))
          .withColumn("ssd", ssd))
     w = Window.partitionBy("qid").orderBy(F.col("ssd").asc(),
@@ -1895,10 +1894,9 @@ def image_embed_ivf_knn(spark, sf_dir):
                  F.col("embedding").alias("_qe"))
          .withColumn("cluster", F.explode(sim.int_ivf_clusters(
              cent, vec_col="_qe", top=_IMG_IVF_NPROBE))))
-    ssd = F.aggregate(
-        F.zip_with(F.col("_qe"), F.col("embedding"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    # unrolled codegen SSD — the HOF twin evaluates interpreted and is
+    # ~3x slower on the candidate join (similarity.int_sq_l2_unrolled)
+    ssd = sim.int_sq_l2_unrolled("_qe", "embedding", mm.PIXEL_EMBED_DIM)
     j = (index.join(F.broadcast(q), "cluster")
          .filter(F.col("image_id") != F.col("qid"))
          .withColumn("ssd", ssd))

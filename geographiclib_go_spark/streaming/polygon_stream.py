@@ -677,10 +677,9 @@ def streaming_image_embed_events(image_stream: DataFrame,
     idx = index.select(F.col("image_id").alias("matched_id"),
                        F.col("embedding").alias("_cvec"),
                        "cluster")
-    ssd = F.aggregate(
-        F.zip_with(F.col("_qe"), F.col("_cvec"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    # unrolled codegen SSD — same int64 values as the zip_with HOF,
+    # but stays inside whole-stage codegen (similarity.int_sq_l2_unrolled)
+    ssd = sim.int_sq_l2_unrolled("_qe", "_cvec", mm.PIXEL_EMBED_DIM)
     return (probe.join(idx, "cluster")
             .filter(F.col("matched_id") != F.col("image_id"))
             .withColumn("ssd", ssd)
