@@ -258,3 +258,33 @@ def test_image_embed_ivf_knn_oracle_and_recall(spark):
     iv = g.groupby("qid")["image_id"].agg(set)
     recalls = [len(ex[q] & iv[q]) / len(ex[q]) for q in ex.index]
     assert np.mean(recalls) >= 0.9
+
+
+def test_unrolled_sq_l2_equals_hof_twin(spark):
+    """similarity.int_sq_l2_unrolled (the codegen hot-path SSD) is
+    bit-identical to the zip_with/aggregate HOF it replaced on random
+    int64 vectors including negatives and zeros — the gate that lets
+    the kNN family swap forms without moving an oracle hash."""
+    from pyspark.sql import functions as F
+
+    from geographiclib_go_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(20260820)
+    dim = mm.PIXEL_EMBED_DIM
+    rows = [(int(i),
+             [int(x) for x in rng.integers(-3000, 3000, dim)],
+             [int(x) for x in rng.integers(-3000, 3000, dim)])
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "i long, a array<long>, b array<long>")
+    hof = F.aggregate(
+        F.zip_with(F.col("a"), F.col("b"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    got = (df.select("i",
+                     sim.int_sq_l2_unrolled("a", "b", dim).alias("u"),
+                     hof.alias("h"))
+           .withColumn("diff", F.col("u") - F.col("h"))
+           .agg(F.max(F.abs("diff")).alias("m"), F.count("*").alias("n"))
+           .collect()[0])
+    assert got["n"] == 500
+    assert got["m"] == 0
