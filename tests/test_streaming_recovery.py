@@ -323,3 +323,122 @@ def test_image_embed_gate_recovers_from_checkpoint(spark, tmp_path):
            for _, r in ev.iterrows()}
     assert got == want
     assert len(got) == len(ev)  # exactly-once: no duplicate rows
+
+
+def test_decontaminate_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_decontaminate_events killed between micro-batches and
+    restarted from its checkpoint must emit exactly the (doc_id, gram)
+    multiset an uninterrupted run emits over the same arrivals, and
+    flag exactly the docs a pure-python brute force flags — the
+    stream-static snapshot probe resumes with no loss and no dupes."""
+    from geographiclib_go_spark.operators import corpus as cp
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (spark.read.parquet(f"{sf}/documents.parquet")
+           .select("doc_id", "text").toPandas())
+
+    def grams(text):
+        tok = text.strip().split(" ")
+        n = cp.DECON_NGRAM
+        return [" ".join(tok[i:i + n]) for i in range(len(tok) - n + 1)]
+
+    eval_grams = set()
+    for _, r in pdf[pdf.doc_id % cp.DECON_EVAL_MOD == 0].iterrows():
+        eval_grams.update(grams(r.text))
+    train = pdf[pdf.doc_id % cp.DECON_EVAL_MOD != 0][
+        ["doc_id", "text"]].reset_index(drop=True)
+    want_dirty = {int(r.doc_id) for _, r in train.iterrows()
+                  if any(g in eval_grams for g in grams(r.text))}
+    assert len(want_dirty) > 0
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    grams_path = str(tmp_path / "eval_grams")
+    cp.eval_grams(docs).write.parquet(grams_path)
+    stat_grams = spark.read.parquet(grams_path)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(train) // 2
+    spark.createDataFrame(train.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_decontaminate_events(stream, stat_grams)
+
+    # leg 1: only b0 exists; drain, STOP
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+
+    # b1 arrives while no query runs; restart from the same checkpoint
+    spark.createDataFrame(train.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert leg1 < len(ev)
+    assert set(int(d) for d in ev.doc_id) == want_dirty
+    assert set(ev.gram) <= eval_grams
+
+    # multiset equality vs an uninterrupted run (a doc can hit the
+    # same gram in several windows ONCE per distinct (doc, gram) pair
+    # per emission contract — whatever the contract emits, a replayed
+    # micro-batch would double its contribution)
+    sink2 = str(tmp_path / "sink_oneshot")
+    ckpt2 = str(tmp_path / "ckpt_oneshot")
+    _run_until_drained(build, sink2, ckpt2)
+    one = spark.read.parquet(sink2).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.doc_id), r.gram) for r in df.itertuples(index=False))
+    assert key(ev) == key(one)
+
+
+def test_scrub_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_scrub_events (stateless map-only redaction) killed
+    between micro-batches and restarted must produce exactly one
+    event per arriving doc with the same redactions an uninterrupted
+    run produces — the file-sink commit log masks any replay."""
+    sf = "/root/testdata/sf0.001"
+    pdf = (spark.read.parquet(f"{sf}/documents.parquet")
+           .select("doc_id", "text").toPandas())
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_scrub_events(stream)
+
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+    assert leg1 == half
+
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert len(ev) == len(pdf)          # exactly one event per doc
+    assert ev.doc_id.is_unique          # no replayed micro-batch
+
+    sink2 = str(tmp_path / "sink_oneshot")
+    ckpt2 = str(tmp_path / "ckpt_oneshot")
+    _run_until_drained(build, sink2, ckpt2)
+    one = spark.read.parquet(sink2).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.doc_id), int(r.n_hits), int(r.chars_delta), r.text_clean)
+        for r in df.itertuples(index=False))
+    assert key(ev) == key(one)
