@@ -39,6 +39,14 @@ codebooks-per-cell dict.
 Reference scope note: the geodesic reference (geographiclib-go) has
 no ANN surface; this operator is part of the engine-added LLM-data
 layer (SURVEY.md §2 "beyond the reference").
+
+Scale note: the literal-expression codebooks here cap ksub at toy
+size (per-row cost and codegen grow O(m*ksub)).  The
+realistic-parameter path — ksub=256, m=16, k-means-trained books,
+residual encoding, Arrow ADC kernels — is operators/pq_arrow.py
+(queries.emb_ivfpq256_topk / emb_ivfpq256_rerank_topk); this module
+remains the fully-SQL-replayable small-parameter variant whose every
+arithmetic step the DuckDB oracle re-derives.
 """
 
 from __future__ import annotations
