@@ -288,3 +288,33 @@ def test_unrolled_sq_l2_equals_hof_twin(spark):
            .collect()[0])
     assert got["n"] == 500
     assert got["m"] == 0
+
+
+def test_flip_degrades_per_row_on_unknown_codec(spark):
+    """A row whose codec the sandbox cannot decode (fmt='jpeg')
+    flows through flip_images as a bytes=NULL marker row and is
+    DROPPED by the ppm stats consumers — one bad row degrades
+    per-row, never failing the batch (the flip_images contract the
+    r4 advice flagged as untested)."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    rows = [("good_ppm", bytearray(im.ppm_encode(pix)), "ppm"),
+            ("bad_jpeg", bytearray(b"\xff\xd8notdecodable"), "jpeg")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+    flipped = mm.flip_images(df).toPandas().set_index("image_id")
+    assert flipped.loc["bad_jpeg", "bytes"] is None     # marker row kept
+    assert flipped.loc["good_ppm", "bytes"] is not None
+
+    stats = mm.ppm_weighted_stats(
+        mm.flip_images(df), ["image_id"]).toPandas()
+    assert list(stats.image_id) == ["good_ppm"]          # bad row dropped
+    wgt = np.arange(1, 17, dtype=np.int64)[None, :, None]
+    want = int((pix[:, ::-1].astype(np.int64) * wgt).sum())
+    assert int(stats.wsum.iloc[0]) == want
+
+    pstats = mm.ppm_pixel_stats(
+        mm.flip_images(df), ["image_id"]).toPandas()
+    assert list(pstats.image_id) == ["good_ppm"]
