@@ -442,3 +442,113 @@ def test_scrub_gate_recovers_from_checkpoint(spark, tmp_path):
         (int(r.doc_id), int(r.n_hits), int(r.chars_delta), r.text_clean)
         for r in df.itertuples(index=False))
     assert key(ev) == key(one)
+
+
+def test_image_dedup_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_image_dedup_events (phash pigeonhole probe of the
+    persisted corpus chunk table) killed between micro-batches and
+    restarted from its checkpoint emits exactly an uninterrupted
+    run's event multiset — the image-axis ingest gate resumes with
+    no loss and no dupes."""
+    from geographiclib_go_spark.operators import dedup as ded
+
+    n, split = 1200, 1000
+    ids = np.arange(n, dtype=np.uint64)
+    ph = im.phash_for_ids(ids)
+    corpus_ph = np.unique(ph[:split])
+    batch = [(f"img_{i:012d}", int(ph[i])) for i in range(split, n)]
+
+    chunks = ded.hamming_chunk_table(
+        spark.createDataFrame(
+            [(int(p),) for p in corpus_ph], "phash long"),
+        sig_col="phash", id_col="phash", max_hamming=4)
+    chunks.write.mode("overwrite").parquet(str(tmp_path / "chunks"))
+    corpus_chunks = spark.read.parquet(str(tmp_path / "chunks"))
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(batch) // 2
+    spark.createDataFrame(batch[:half], "image_id string, phash long") \
+        .coalesce(1).write.parquet(str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream
+                  .schema("image_id string, phash long")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_image_dedup_events(stream, corpus_chunks,
+                                               max_hamming=4)
+
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+
+    spark.createDataFrame(batch[half:], "image_id string, phash long") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert leg1 < len(ev)
+
+    sink2 = str(tmp_path / "sink_oneshot")
+    ckpt2 = str(tmp_path / "ckpt_oneshot")
+    _run_until_drained(build, sink2, ckpt2)
+    one = spark.read.parquet(sink2).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (r.image_id, int(r.matched_phash), int(r.hamming))
+        for r in df.itertuples(index=False))
+    assert key(ev) == key(one)
+    # exact dups really are exact: every hamming-0 event's phash is
+    # in the corpus
+    zero = ev[ev.hamming == 0]
+    assert set(int(p) for p in zero.matched_phash) <= set(
+        int(p) for p in corpus_ph)
+
+
+def test_vector_qa_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_vector_qa_events (stateless per-vector QA) killed
+    between micro-batches and restarted emits exactly one decision
+    row per arriving vector, equal to an uninterrupted run's."""
+    sf = "/root/testdata/sf0.001"
+    pdf = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(pdf) // 2
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(pdf.iloc[:half], schema) \
+        .coalesce(1).write.parquet(str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_vector_qa_events(stream)
+
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+    assert leg1 == half
+
+    spark.createDataFrame(pdf.iloc[half:], schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink).toPandas()
+    assert len(ev) == len(pdf)
+    assert ev.vec_id.is_unique
+
+    sink2 = str(tmp_path / "sink_oneshot")
+    ckpt2 = str(tmp_path / "ckpt_oneshot")
+    _run_until_drained(build, sink2, ckpt2)
+    one = spark.read.parquet(sink2).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.vec_id), int(r.n2), int(r.qmax),
+         bool(r.norm_ok), bool(r.spiky))
+        for r in df.itertuples(index=False))
+    assert key(ev) == key(one)
