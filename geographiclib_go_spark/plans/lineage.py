@@ -11,6 +11,9 @@ snapshot, and commit is an atomic pointer swap (SURVEY.md §7 risk 4):
                                              checksum) sidecar
   <root>/<stage>/snapshots/v00001/commit.json  per-snapshot metrics
   <root>/<stage>/_CURRENT                    atomic pointer (rename)
+  <root>/<stage>/_staging/<pid>-<uuid>/      writer-private scratch;
+                                             published into snapshots/
+                                             by ONE atomic dir rename
 
 This buys, with plain files, the Iceberg guarantees the engine
 depends on:
@@ -32,10 +35,12 @@ a verifier detect partial/corrupt outputs without reading full data.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
 import time
+import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +49,16 @@ from pyspark.sql import functions as F
 
 def _stage_base(root: str, stage: str) -> str:
     return os.path.join(root, stage)
+
+
+def _staging_dir(root: str, stage: str) -> str:
+    """A writer-unique scratch directory for one in-flight snapshot.
+    Everything (data, _lineage, commit.json) is assembled here and
+    published into snapshots/ with ONE atomic directory rename, so a
+    version directory under snapshots/ is complete by construction
+    and two concurrent writers can never touch the same path."""
+    return os.path.join(_stage_base(root, stage), "_staging",
+                        f"{os.getpid()}-{uuid.uuid4().hex[:12]}")
 
 
 def _snap_dir(root: str, stage: str, version: int) -> str:
@@ -135,31 +150,35 @@ def run_stage(spark: SparkSession, root: str, stage: str,
 
     If the CURRENT snapshot committed with the same input fingerprint,
     its data is returned without recompute.  Otherwise build() is
-    written into a NEW snapshot directory (data + lineage + commit
-    metadata) and the CURRENT pointer swaps atomically — concurrent
-    readers of the old snapshot are never disturbed, and a crash
-    before the swap leaves the stage pointing at the last good
-    version (the orphan snapshot is expired later)."""
+    written into a writer-unique STAGING directory (data + lineage +
+    commit metadata) and published into snapshots/ with one atomic
+    directory rename before the CURRENT pointer swaps — concurrent
+    readers of the old snapshot are never disturbed, a crash before
+    publish leaves only staging scratch (swept by expire_snapshots),
+    and CONCURRENT writers of the same stage are safe: each assembles
+    in its own staging dir, the version-slot rename makes exactly one
+    writer own each version number (losers retry with the next), and
+    the pointer swap is last-writer-wins between two complete
+    snapshots."""
     if stage_is_complete(root, stage, input_fingerprint):
         return read_stage(spark, root, stage)
 
-    version = _next_version(root, stage)
-    snap = _snap_dir(root, stage, version)
+    staging = _staging_dir(root, stage)
 
     t0 = time.time()
     df = build()
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(snap, "data"))
+    writer.parquet(os.path.join(staging, "data"))
 
-    out = spark.read.parquet(os.path.join(snap, "data"))
-    lin = partition_lineage(out)
-    lin.write.mode("overwrite").parquet(os.path.join(snap, "_lineage"))
-    rows = out.count()
+    staged = spark.read.parquet(os.path.join(staging, "data"))
+    lin = partition_lineage(staged)
+    lin.write.mode("overwrite").parquet(
+        os.path.join(staging, "_lineage"))
+    rows = staged.count()
     meta = {
         "stage": stage,
-        "version": version,
         "rows": rows,
         "wall_s": round(time.time() - t0, 3),
         "input_fingerprint": input_fingerprint,
@@ -167,24 +186,52 @@ def run_stage(spark: SparkSession, root: str, stage: str,
         # committed data-file count, from the filesystem listing —
         # no df.rdd conversion (a driver-side RDD materialization)
         # on the write path
-        "n_files": len(_data_files(os.path.join(snap, "data"))),
+        "n_files": len(_data_files(os.path.join(staging, "data"))),
     }
-    with open(os.path.join(snap, "commit.json"), "w") as fh:
-        json.dump(meta, fh)
+    version = _publish_snapshot(root, stage, staging, meta)
+    return read_stage(spark, root, stage, version=version)
 
+
+def _publish_snapshot(root: str, stage: str, staging: str,
+                      meta: dict) -> int:
+    """Atomically move a fully-assembled staging directory into the
+    next free version slot and swap the CURRENT pointer.  The
+    directory rename is the commit: on POSIX, rename onto an existing
+    non-empty directory fails (ENOTEMPTY/EEXIST), so when two writers
+    race for the same version number exactly one wins the slot and
+    the loser re-allocates — no writer ever writes inside another's
+    directory, which is what makes concurrent same-stage writers safe
+    (each publishes a complete snapshot; the pointer is last-writer-
+    wins between them)."""
+    snaps_parent = os.path.join(_stage_base(root, stage), "snapshots")
+    os.makedirs(snaps_parent, exist_ok=True)
+    while True:
+        version = _next_version(root, stage)
+        meta["version"] = version
+        with open(os.path.join(staging, "commit.json"), "w") as fh:
+            json.dump(meta, fh)
+        try:
+            os.rename(staging, _snap_dir(root, stage, version))
+            break
+        except OSError as e:
+            if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
+            # another writer took this slot between the listing and
+            # the rename; re-scan and try the next number
+            continue
     ptr = _pointer_path(root, stage)
-    os.makedirs(os.path.dirname(ptr), exist_ok=True)
-    tmp = ptr + f".tmp.v{version}"
+    tmp = ptr + f".tmp.{os.getpid()}.v{version}"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, ptr)  # atomic commit: pointer swap
-    return out
+    return version
 
 
 def _next_version(root: str, stage: str) -> int:
-    """Next snapshot number past EVERY existing directory, committed
-    or orphaned (a crashed writer leaves a dir without commit.json;
-    reusing its number would dirty-write into it)."""
+    """Next snapshot number past EVERY existing directory under
+    snapshots/ (with the staged publish protocol each one is a
+    complete snapshot, but pre-protocol orphans without commit.json
+    are counted too — reusing their number would collide)."""
     cur = current_snapshot(root, stage)
     version = (cur["version"] + 1) if cur else 1
     snaps_dir = os.path.join(_stage_base(root, stage), "snapshots")
@@ -253,8 +300,7 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
         target_files = max(1, -(-total // target_file_bytes))
     old_count, old_sum = cur["rows"], _global_checksum(df)
 
-    version = _next_version(root, stage)
-    snap = _snap_dir(root, stage, version)
+    staging = _staging_dir(root, stage)
     t0 = time.time()
     if partition_by:
         packed = df.repartition(target_files, *partition_by)
@@ -274,9 +320,9 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
     writer = packed.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(snap, "data"))
+    writer.parquet(os.path.join(staging, "data"))
 
-    out = spark.read.parquet(os.path.join(snap, "data"))
+    out = spark.read.parquet(os.path.join(staging, "data"))
     rows = out.count()
     # hive partition-column type inference can read a partition key
     # back in a NARROWER container (bigint -> int); align to the
@@ -288,28 +334,23 @@ def compact_stage(spark: SparkSession, root: str, stage: str,
         raise RuntimeError(
             f"compaction of {stage!r} v{cur['version']} changed data "
             f"(rows {old_count}->{rows}, checksum {old_sum}->{new_sum})"
-            f"; snapshot v{version} left uncommitted")
+            f"; staging dir left unpublished")
     lin = partition_lineage(out)
-    lin.write.mode("overwrite").parquet(os.path.join(snap, "_lineage"))
+    lin.write.mode("overwrite").parquet(
+        os.path.join(staging, "_lineage"))
+    n_files = len(_data_files(os.path.join(staging, "data")))
     meta = {
         "stage": stage,
-        "version": version,
         "rows": rows,
         "wall_s": round(time.time() - t0, 3),
         "input_fingerprint": cur.get("input_fingerprint", ""),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "n_files": len(_data_files(os.path.join(snap, "data"))),
+        "n_files": n_files,
         "compacted_from": cur["version"],
         "files_before": len(old_files),
-        "files_after": len(_data_files(os.path.join(snap, "data"))),
+        "files_after": n_files,
     }
-    with open(os.path.join(snap, "commit.json"), "w") as fh:
-        json.dump(meta, fh)
-    ptr = _pointer_path(root, stage)
-    tmp = ptr + f".tmp.v{version}"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, ptr)  # atomic commit: pointer swap
+    _publish_snapshot(root, stage, staging, meta)
     return meta
 
 
@@ -328,20 +369,31 @@ def rollback_stage(root: str, stage: str, version: int) -> dict:
     return meta
 
 
-def expire_snapshots(root: str, stage: str, keep: int = 2) -> list:
+def expire_snapshots(root: str, stage: str, keep: int = 2,
+                     staging_ttl_s: float = 86400.0) -> list:
     """Delete all but the newest `keep` COMMITTED snapshots — never
     the current one — plus every ORPHANED snapshot directory (no
-    commit.json: a crashed writer's leftovers) older than the oldest
-    retained committed version.  Orphans are never readable, so
-    without this they would leak disk forever (ADVICE r2).  Returns
-    the expired version numbers.
+    commit.json: pre-staging-protocol leftovers) older than the
+    oldest retained committed version, plus STAGING scratch older
+    than `staging_ttl_s` (a crashed writer's half-assembled snapshot;
+    the TTL keeps a live concurrent writer's staging dir safe).
+    Orphans and dead staging are never readable, so without this they
+    would leak disk forever (ADVICE r2).  Returns the expired version
+    numbers.
 
-    Single-writer assumption: version allocation scans directory
-    names without any lock, so at most one writer may run a given
-    stage at a time (concurrent writers could allocate the same
-    version and overwrite each other).  Serialize writers per stage —
-    e.g. one orchestrator owns each stage, the normal Spark-pipeline
-    shape; readers are unaffected (the pointer swap is atomic)."""
+    Concurrent writers are safe (the staged atomic-rename publish in
+    `_publish_snapshot` gives each version slot exactly one owner);
+    readers are unaffected (the pointer swap is atomic)."""
+    staging_parent = os.path.join(_stage_base(root, stage), "_staging")
+    if os.path.isdir(staging_parent):
+        now = time.time()
+        for name in os.listdir(staging_parent):
+            p = os.path.join(staging_parent, name)
+            try:
+                if now - os.path.getmtime(p) > staging_ttl_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
     cur = current_snapshot(root, stage)
     cur_v = cur["version"] if cur else None
     hist = snapshot_history(root, stage)

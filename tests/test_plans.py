@@ -210,12 +210,17 @@ def test_compact_stage_refuses_corrupt_rewrite(spark, monkeypatch):
         cur = lineage.current_snapshot(root, "s")
         assert cur["version"] == 1          # pointer never moved
         assert lineage.read_stage(spark, root, "s").count() == 1000
-        # the abandoned rewrite is uncommitted (absent from history)
-        # and version allocation never reuses its number
+        # the abandoned rewrite never reached snapshots/ — it is only
+        # staging scratch (swept by expire_snapshots' TTL), so the
+        # version sequence stays dense
         assert [m["version"]
                 for m in lineage.snapshot_history(root, "s")] == [1]
+        staging = os.path.join(root, "s", "_staging")
+        assert os.path.isdir(staging) and len(os.listdir(staging)) == 1
+        lineage.expire_snapshots(root, "s", keep=2, staging_ttl_s=0)
+        assert os.listdir(staging) == []
         meta = lineage.compact_stage(spark, root, "s", target_files=2)
-        assert meta["version"] == 3
+        assert meta["version"] == 2
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
