@@ -163,6 +163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quality_gate": Q.emb_quality_gate,
         "image_near_dup_keep_best": Q.image_near_dup_keep_best,
         "image_augment_flip": Q.image_augment_flip,
+        # --- post-draw addition (r5 close): outside the 50-row cap,
+        # so driver coverage is replaced by the executable three-way
+        # gate in tests/test_bpe.py (Spark == DuckDB ORACLE_SQL ==
+        # pure-Python reference trainer) ---
+        "doc_bpe_train": Q.doc_bpe_train,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -43,6 +43,7 @@ from geographiclib_go_spark.operators import sampling as smp
 from geographiclib_go_spark.functions import localdf as ldf
 from geographiclib_go_spark.operators import similarity as sim
 from geographiclib_go_spark.operators import spatial_join as sj
+from geographiclib_go_spark.operators import bpe as bpe_op
 from geographiclib_go_spark.operators import text as tx
 from geographiclib_go_spark.operators import tiling
 
@@ -1281,6 +1282,24 @@ def doc_bpe_tokens(spark, sf_dir):
     return (out.select("doc_id", "n_bpe_tokens", "n_alpha_runs",
                        "n_digits", "n_marks")
             .orderBy("doc_id"))
+
+
+def doc_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (operators/bpe.py): learn
+    the first 20 merge rules over the documents corpus.  Scale
+    shape: ONE corpus-sized pass builds the word-frequency table;
+    every merge round after that is a pair-count partial agg + a
+    map-only fold over the vocabulary only (the corpus is never
+    re-read), with the per-round winner shipped as a broadcast 1-row
+    join and lineage cut by localCheckpoint (the iterative-operator
+    protocol shared with connected-components / k-means / PageRank).
+    Deterministic: ties break on (count DESC, pair ASC); every count
+    an exact BIGINT.  Oracle: the identical 20 rounds unrolled as
+    MATERIALIZED DuckDB CTEs with the same list_reduce fold
+    (bpe.bpe_oracle_sql); a pytest additionally pins both engines to
+    a pure-Python reference trainer (tests/test_bpe.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_op.train_bpe(docs, rounds=20)
 
 
 def docs_clean_pipeline(spark, sf_dir):
@@ -4732,3 +4751,5 @@ ORACLE_SQL["docs_incremental_dedup"] = (
     WHERE b.split = 'batch'
     ORDER BY b.doc_id
 """)
+
+ORACLE_SQL["doc_bpe_train"] = bpe_op.bpe_oracle_sql(rounds=20)

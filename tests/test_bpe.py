@@ -1,0 +1,117 @@
+"""Distributed BPE merge training (operators/bpe.py).
+
+Three-way gate: the Spark trainer, its DuckDB ORACLE_SQL replay, and
+an independent pure-Python reference trainer must produce the exact
+same merge sequence (round, a, b, merged, cnt) on the sf0.001
+documents corpus.  doc_bpe_train sits past the driver's 50-row
+CORRECTNESS draw, so this test IS its executable verification (the
+same protocol as tests/test_rotation_parity.py).
+"""
+
+import collections
+import re
+
+import duckdb
+import pytest
+
+from geographiclib_go_spark.operators import bpe
+
+ROUNDS = 20
+
+
+def _py_reference(texts, rounds):
+    """Independent sequential BPE trainer: word-frequency table,
+    greedy left-to-right merge application, ties on (count DESC,
+    pair ASC)."""
+    freq = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t):
+            if w and re.fullmatch(r"[A-Za-z0-9]+", w):
+                freq[w] += 1
+    vocab = {tuple(w): n for w, n in freq.items()}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, cnt))
+        nv = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    return merges
+
+
+@pytest.fixture(scope="module")
+def corpus_texts(sf_dir):
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["text"]).column("text").to_pylist()
+
+
+def test_spark_matches_python_reference(spark, sf_dir, corpus_texts):
+    ref = _py_reference(corpus_texts, ROUNDS)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted((r["round"], r["a"], r["b"], r["merged"], r["cnt"])
+                 for r in bpe.train_bpe(docs, ROUNDS).collect())
+    assert got == ref
+
+
+def test_oracle_sql_matches_python_reference(sf_dir, corpus_texts):
+    ref = _py_reference(corpus_texts, ROUNDS)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    got = [tuple(r) for r in
+           con.execute(bpe.bpe_oracle_sql(ROUNDS)).fetchall()]
+    assert got == ref
+
+
+def test_fold_merge_edge_cases(spark):
+    """The left-to-right non-overlapping fold on self-pairs: the
+    merged symbol can never re-match the pattern's first element, so
+    'a a a' -> [aa, a] and 'a a a a' -> [aa, aa]."""
+    docs = spark.createDataFrame(
+        [("d1", "aaa"), ("d2", "aaaa"), ("d3", "aab"), ("d4", "ab")],
+        ["doc_id", "text"])
+    rows = sorted((r["round"], r["a"], r["b"], r["merged"], r["cnt"])
+                  for r in bpe.train_bpe(docs, 2).collect())
+    ref = _py_reference(["aaa", "aaaa", "aab", "ab"], 2)
+    assert rows == ref
+    # round 1 merges the most frequent pair (a,a): counts are
+    # aaa->2, aaaa->3, aab->1, ab->0 adjacent (a,a) pairs = 6
+    assert rows[0] == (1, "a", "a", "aa", 6)
+
+
+def test_vocabulary_exhaustion_truncates(spark):
+    """Fewer than `rounds` output rows when no adjacent pairs
+    remain, in BOTH engines."""
+    docs = spark.createDataFrame([("d1", "ab ab cd")],
+                                 ["doc_id", "text"])
+    rows = bpe.train_bpe(docs, 6).collect()
+    # ab->merge1, cd->merge2, then every word is one symbol
+    assert len(rows) == 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 'd1' AS doc_id, "
+                "'ab ab cd' AS text")
+    assert len(con.execute(bpe.bpe_oracle_sql(6)).fetchall()) == 2
+
+
+def test_training_is_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, bpe.train_bpe(docs, 6).collect()))
+    b = sorted(map(tuple, bpe.train_bpe(docs, 6).collect()))
+    assert a == b
