@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate in tests/test_bpe.py (Spark == DuckDB ORACLE_SQL ==
         # pure-Python reference trainer) ---
         "doc_bpe_train": Q.doc_bpe_train,
+        "doc_seq_pack": Q.doc_seq_pack,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -129,7 +129,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "image_caption_conflict", "image_tile_rebalance",
         "image_near_dup_keep_best", "image_augment_flip",
         "image_quality_gate", "image_embed_knn",
-        "image_embed_ivf_knn", "doc_bpe_train",
+        "image_embed_ivf_knn", "doc_bpe_train", "doc_seq_pack",
     ]
     for name in headline:
         fn = getattr(Q, name)

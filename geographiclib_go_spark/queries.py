@@ -44,6 +44,7 @@ from geographiclib_go_spark.functions import localdf as ldf
 from geographiclib_go_spark.operators import similarity as sim
 from geographiclib_go_spark.operators import spatial_join as sj
 from geographiclib_go_spark.operators import bpe as bpe_op
+from geographiclib_go_spark.operators import packing as pk
 from geographiclib_go_spark.operators import text as tx
 from geographiclib_go_spark.operators import tiling
 
@@ -1300,6 +1301,20 @@ def doc_bpe_train(spark, sf_dir):
     a pure-Python reference trainer (tests/test_bpe.py)."""
     docs = _t(spark, sf_dir, "documents")
     return bpe_op.train_bpe(docs, rounds=20)
+
+
+def doc_seq_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.py): concat-and-chunk the
+    tokenized corpus into fixed 256-token training rows, sharded by
+    a deterministic doc->shard map so the running-offset window is
+    per-shard — never a global single-partition sort.  Per (shard,
+    chunk): docs, boundary-split docs, token fill; every quantity an
+    exact BIGINT (integer div), full chunks carry exactly seq_len
+    tokens and only each shard's tail chunk may be partial (pytest-
+    pinned invariants).  Oracle: the identical window + explode +
+    integer arithmetic in DuckDB (packing.seq_pack_oracle_sql)."""
+    docs = _t(spark, sf_dir, "documents")
+    return pk.seq_pack(docs)
 
 
 def docs_clean_pipeline(spark, sf_dir):
@@ -4753,3 +4768,5 @@ ORACLE_SQL["docs_incremental_dedup"] = (
 """)
 
 ORACLE_SQL["doc_bpe_train"] = bpe_op.bpe_oracle_sql(rounds=20)
+
+ORACLE_SQL["doc_seq_pack"] = pk.seq_pack_oracle_sql()
