@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pure-Python reference trainer) ---
         "doc_bpe_train": Q.doc_bpe_train,
         "doc_seq_pack": Q.doc_seq_pack,
+        "doc_bpe_apply": Q.doc_bpe_apply,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -68,9 +68,11 @@ def word_freq(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _init_words(vf: DataFrame) -> DataFrame:
-    """(syms: array<string>, n): split each word into 1-char
-    symbols."""
+    """(w, syms: array<string>, n): split each word into 1-char
+    symbols; the word itself rides along so the trained vocabulary
+    can be joined back to a corpus (apply_bpe)."""
     return vf.select(
+        F.col("w"),
         F.regexp_extract_all("w", F.lit("(.)"), 1).alias("syms"),
         F.col("n"))
 
@@ -101,17 +103,16 @@ def _apply_merge(words: DataFrame, best: DataFrame) -> DataFrame:
             & (x == F.col("b")),
             F.concat(acc, x)).otherwise(F.concat(acc, F.lit(SEP), x)))
     return (words.crossJoin(F.broadcast(best.select("a", "b")))
-            .select(F.split(F.substring(folded, 2, _MAXLEN),
+            .select(F.col("w"),
+                    F.split(F.substring(folded, 2, _MAXLEN),
                             "\\" + SEP).alias("syms"),
                     F.col("n")))
 
 
-def train_bpe(docs: DataFrame, rounds: int = 20,
-              id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """Learned merge table (round, a, b, merged, cnt), one row per
-    completed round (fewer than `rounds` rows only if the vocabulary
-    runs out of adjacent pairs first)."""
+def _train(docs: DataFrame, rounds: int, id_col: str,
+           text_col: str):
+    """(final words table, [1-row merge DataFrames]) after `rounds`
+    merge rounds."""
     # The vocabulary table is corpus-INDEPENDENT in size (bounded by
     # distinct words), so compact it before the iterative loop: at
     # sandbox scale 1 partition; at 100 TB pick partitions ~ vocab/1M
@@ -130,14 +131,62 @@ def train_bpe(docs: DataFrame, rounds: int = 20,
             F.concat("a", "b").alias("merged"),
             F.col("cnt").cast("long").alias("cnt")))
         words = _apply_merge(words, best).localCheckpoint(eager=True)
+    return words, merge_rows
+
+
+def train_bpe(docs: DataFrame, rounds: int = 20,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Learned merge table (round, a, b, merged, cnt), one row per
+    completed round (fewer than `rounds` rows only if the vocabulary
+    runs out of adjacent pairs first)."""
+    _, merge_rows = _train(docs, rounds, id_col, text_col)
     return functools.reduce(DataFrame.unionAll, merge_rows)
 
 
-def bpe_oracle_sql(rounds: int = 20, table: str = "documents") -> str:
-    """DuckDB replay: same word-frequency table, same pair counting,
-    same deterministic argmax, same list_reduce fold.  Every CTE is
-    MATERIALIZED — each round references the previous one twice, and
-    inlined CTEs would double the plan per round."""
+def train_vocab(docs: DataFrame, rounds: int = 20,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Trained tokenizer vocabulary (w, n_syms): each distinct
+    corpus word with its token count AFTER `rounds` learned merges —
+    the write-once artifact apply_bpe probes (train once at corpus
+    build, apply at every ingest)."""
+    words, _ = _train(docs, rounds, id_col, text_col)
+    return words.select("w", F.size("syms").cast("long")
+                        .alias("n_syms"))
+
+
+def apply_bpe(docs: DataFrame, vocab: DataFrame,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with a trained vocabulary: per-doc
+    (n_words, n_tokens, n_chars) over the same alphanumeric word
+    spec the trainer used.  Map-only explode + ONE join against the
+    vocab-sized table (broadcast or shuffle as the optimizer picks;
+    every corpus word is present by construction when the vocab was
+    trained on the same corpus) + one aggregate — the corpus-sized
+    path never iterates."""
+    dw = (docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.filter(F.split(F.col(text_col),
+                                       WS_REGEX_JAVA),
+                               lambda x: F.length(x) > 0)).alias("w"))
+          .filter(F.col("w").rlike(WORD_RE)))
+    return (dw.join(vocab.select("w", "n_syms"), "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_syms").alias("n_tokens"),
+                 F.sum(F.length("w")).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+def _rounds_cte_sql(rounds: int, table: str) -> str:
+    """The shared WITH-prefix replaying `rounds` merge rounds: toks,
+    w0, then (p_r, b_r, w_r) per round, every CTE MATERIALIZED —
+    each round references the previous one twice, and inlined CTEs
+    would double the plan per round.  The word column w rides
+    through every w_r so the final vocabulary can join back to a
+    corpus (bpe_apply_oracle_sql)."""
     from geographiclib_go_spark.operators.sketch_hash import WS_REGEX
     parts = [f"""
 WITH toks AS MATERIALIZED (
@@ -149,7 +198,7 @@ WITH toks AS MATERIALIZED (
   GROUP BY w
 ),
 w0 AS MATERIALIZED (
-  SELECT regexp_extract_all(w, '(.)', 1) AS syms, n FROM toks
+  SELECT w, regexp_extract_all(w, '(.)', 1) AS syms, n FROM toks
 )"""]
     for r in range(1, rounds + 1):
         p = r - 1
@@ -166,8 +215,9 @@ b{r} AS MATERIALIZED (
   FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
 ),
 w{r} AS MATERIALIZED (
-  SELECT string_split(substr(folded, 2), '{SEP}') AS syms, n FROM (
-    SELECT list_reduce(
+  SELECT w, string_split(substr(folded, 2), '{SEP}') AS syms, n
+  FROM (
+    SELECT w, list_reduce(
              list_concat(['{SEP}' || syms[1]], syms[2:]),
              (acc, x) -> CASE WHEN ends_with(acc, '{SEP}' || bb.a)
                                AND x = bb.b
@@ -176,8 +226,43 @@ w{r} AS MATERIALIZED (
     FROM w{p}, b{r} bb
   )
 )""")
+    return "".join(parts)
+
+
+def bpe_oracle_sql(rounds: int = 20, table: str = "documents") -> str:
+    """DuckDB replay of train_bpe: same word-frequency table, same
+    pair counting, same deterministic argmax, same list_reduce
+    fold."""
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS round, a, b, merged, cnt "
         f"FROM b{r}" for r in range(1, rounds + 1))
-    parts.append(f"\n{unions}\nORDER BY round")
-    return "".join(parts)
+    return (_rounds_cte_sql(rounds, table)
+            + f"\n{unions}\nORDER BY round")
+
+
+def bpe_apply_oracle_sql(rounds: int = 20,
+                         table: str = "documents") -> str:
+    """DuckDB replay of train_vocab + apply_bpe: the identical
+    rounds, then the per-doc tokenization join against the final
+    vocabulary."""
+    from geographiclib_go_spark.operators.sketch_hash import WS_REGEX
+    return _rounds_cte_sql(rounds, table) + f""",
+vocab AS MATERIALIZED (
+  SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM w{rounds}
+),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '{WS_REGEX}'),
+                              x -> length(x) > 0)) AS w
+    FROM {table}
+  ) WHERE regexp_matches(w, '{WORD_RE}')
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_syms) AS BIGINT) AS n_tokens,
+       CAST(sum(length(dw.w)) AS BIGINT) AS n_chars
+FROM dw JOIN vocab v USING (w)
+GROUP BY dw.doc_id
+ORDER BY dw.doc_id
+"""

@@ -1303,6 +1303,27 @@ def doc_bpe_train(spark, sf_dir):
     return bpe_op.train_bpe(docs, rounds=20)
 
 
+def doc_bpe_apply(spark, sf_dir):
+    """Tokenize the corpus with the TRAINED BPE vocabulary
+    (operators/bpe.train_vocab + apply_bpe): per-doc word / learned-
+    token / character counts, exact BIGINTs.  The trained vocabulary
+    is a write-once plans/lineage snapshot keyed by the corpus
+    fingerprint — train once at corpus build, probe the committed
+    parquet at every apply (the same persisted-index protocol as the
+    dedup bands / IVF cells / PageRank edges) — so the corpus-sized
+    path is ONE explode + ONE vocab join + ONE aggregate, no
+    iteration.  Oracle: the identical 20 training rounds + apply
+    join in DuckDB (bpe.bpe_apply_oracle_sql)."""
+    from geographiclib_go_spark.plans import lineage as lin
+    docs = _t(spark, sf_dir, "documents")
+    fp = f"{os.path.abspath(sf_dir)}|bpe_vocab|rounds=20|v1"
+    vocab = lin.run_stage(
+        spark, _dedup_store_root(), "bpe_vocab_documents",
+        lambda: bpe_op.train_vocab(docs, rounds=20),
+        input_fingerprint=fp)
+    return bpe_op.apply_bpe(docs, vocab)
+
+
 def doc_seq_pack(spark, sf_dir):
     """Sequence packing (operators/packing.py): concat-and-chunk the
     tokenized corpus into fixed 256-token training rows, sharded by
@@ -4770,3 +4791,5 @@ ORACLE_SQL["docs_incremental_dedup"] = (
 ORACLE_SQL["doc_bpe_train"] = bpe_op.bpe_oracle_sql(rounds=20)
 
 ORACLE_SQL["doc_seq_pack"] = pk.seq_pack_oracle_sql()
+
+ORACLE_SQL["doc_bpe_apply"] = bpe_op.bpe_apply_oracle_sql(rounds=20)

@@ -115,3 +115,86 @@ def test_training_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, bpe.train_bpe(docs, 6).collect()))
     b = sorted(map(tuple, bpe.train_bpe(docs, 6).collect()))
     assert a == b
+
+
+def _py_apply(texts, rounds):
+    """Reference tokenization with the trained merges: per-doc
+    (n_words, n_tokens, n_chars) over alnum words."""
+    merges = [(a, b) for _, a, b, _, _
+              in _py_reference([t for _, t in texts], rounds)]
+
+    def tokenize(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    cache = {}
+    rows = []
+    for doc_id, t in texts:
+        nw = nt = nc = 0
+        for w in re.split(r"\s+", t):
+            if w and re.fullmatch(r"[A-Za-z0-9]+", w):
+                if w not in cache:
+                    cache[w] = tokenize(w)
+                nw += 1
+                nt += cache[w]
+                nc += len(w)
+        if nw:
+            rows.append((doc_id, nw, nt, nc))
+    return sorted(rows)
+
+
+@pytest.fixture(scope="module")
+def corpus_with_ids(sf_dir):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+
+
+def test_apply_matches_python_reference(spark, sf_dir, tmp_path,
+                                        corpus_with_ids, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STORE", str(tmp_path))
+    from geographiclib_go_spark import queries as Q
+    got = sorted(tuple(r) for r in
+                 Q.doc_bpe_apply(spark, sf_dir).collect())
+    assert got == _py_apply(corpus_with_ids, 20)
+
+
+def test_apply_oracle_matches_python_reference(sf_dir,
+                                               corpus_with_ids):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    got = [tuple(r) for r in
+           con.execute(bpe.bpe_apply_oracle_sql(20)).fetchall()]
+    assert sorted(got) == _py_apply(corpus_with_ids, 20)
+
+
+def test_apply_vocab_snapshot_resumes(spark, sf_dir, tmp_path,
+                                      monkeypatch):
+    """Second invocation must probe the committed vocab snapshot,
+    not retrain: the lineage stage is complete after the first call
+    and the outputs are identical."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE", str(tmp_path))
+    from geographiclib_go_spark import queries as Q
+    from geographiclib_go_spark.plans import lineage as lin
+    first = sorted(map(tuple, Q.doc_bpe_apply(spark, sf_dir).collect()))
+    import os as _os
+    fp = f"{_os.path.abspath(sf_dir)}|bpe_vocab|rounds=20|v1"
+    assert lin.stage_is_complete(str(tmp_path), "bpe_vocab_documents",
+                                 fp)
+    second = sorted(map(tuple, Q.doc_bpe_apply(spark, sf_dir).collect()))
+    assert first == second
