@@ -685,3 +685,34 @@ def streaming_image_embed_events(image_stream: DataFrame,
             .withColumn("ssd", ssd)
             .filter(F.col("ssd") <= F.lit(int(max_ssd)))
             .select("image_id", "matched_id", "ssd"))
+
+
+def streaming_bpe_tokenize_events(doc_stream: DataFrame,
+                                  vocab_df: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Streaming ingest-time tokenization — the readStream face of
+    queries.doc_bpe_apply: every arriving document's alphanumeric
+    words probe the PERSISTED trained-BPE-vocabulary snapshot
+    (bpe.train_vocab via plans/lineage — the train-once write-once
+    artifact) with a stream-static broadcast join, emitting one
+    (doc_id, w, n_syms) event per word occurrence.  The per-doc
+    rollup (n_words, n_tokens, n_chars) is the consumer's fold — a
+    streaming aggregate would add a state store for what is a pure
+    per-row decision (the decontamination-gate contract).  Stateless
+    map-only explode + stream-static join: append-safe, no
+    watermark.  The word spec (whitespace split, WORD_RE filter) is
+    the bpe module's, so batch and stream cannot drift.  Batch
+    parity and checkpoint kill-and-restart recovery are
+    pytest-gated."""
+    from geographiclib_go_spark.operators import bpe as bp
+    from geographiclib_go_spark.operators.cms import WS_REGEX_JAVA
+
+    words = (doc_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), WS_REGEX_JAVA),
+                           lambda x: F.length(x) > 0)).alias("w"))
+        .filter(F.col("w").rlike(bp.WORD_RE)))
+    return (words.join(F.broadcast(vocab_df.select("w", "n_syms")),
+                       "w")
+            .select("doc_id", "w", "n_syms"))

@@ -198,3 +198,44 @@ def test_apply_vocab_snapshot_resumes(spark, sf_dir, tmp_path,
                                  fp)
     second = sorted(map(tuple, Q.doc_bpe_apply(spark, sf_dir).collect()))
     assert first == second
+
+
+def test_streaming_tokenize_matches_batch(spark, sf_dir, tmp_path,
+                                          monkeypatch):
+    """streaming_bpe_tokenize_events probing the SAME persisted vocab
+    snapshot, folded per doc, must equal the batch doc_bpe_apply
+    output exactly."""
+    from geographiclib_go_spark.streaming import polygon_stream as ps
+    monkeypatch.setenv("SPARK_GRAFT_STORE", str(tmp_path / "store"))
+    from geographiclib_go_spark import queries as Q
+    batch = sorted(map(tuple, Q.doc_bpe_apply(spark, sf_dir).collect()))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vpath = str(tmp_path / "vocab")
+    bpe.train_vocab(docs, 20).write.parquet(vpath)
+    vocab = spark.read.parquet(vpath)
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    out = ps.streaming_bpe_tokenize_events(stream, vocab)
+    q = (out.writeStream.format("memory").queryName("bpe_events")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        ev = spark.sql(
+            "SELECT doc_id, count(*) AS n_words, "
+            "sum(n_syms) AS n_tokens, "
+            "CAST(sum(length(w)) AS BIGINT) AS n_chars "
+            "FROM bpe_events GROUP BY doc_id").collect()
+    finally:
+        q.stop()
+    assert sorted(map(tuple, ev)) == batch

@@ -552,3 +552,63 @@ def test_vector_qa_gate_recovers_from_checkpoint(spark, tmp_path):
          bool(r.norm_ok), bool(r.spiky))
         for r in df.itertuples(index=False))
     assert key(ev) == key(one)
+
+
+def test_bpe_tokenize_gate_recovers_from_checkpoint(spark, tmp_path):
+    """streaming_bpe_tokenize_events killed between micro-batches and
+    restarted from its checkpoint must emit exactly the per-word
+    event multiset an uninterrupted run emits over the same arrivals
+    — folded per doc, exactly the batch doc_bpe_apply counts — so
+    the persisted-vocab probe resumes with no loss and no dupes."""
+    from geographiclib_go_spark.operators import bpe
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    vpath = str(tmp_path / "vocab")
+    bpe.train_vocab(docs, 20).write.parquet(vpath)
+    vocab = spark.read.parquet(vpath)
+    batch = sorted(map(tuple,
+                       bpe.apply_bpe(docs, vocab).collect()))
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        str(src / "b0"))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        return ps.streaming_bpe_tokenize_events(stream, vocab)
+
+    # leg 1: only b0 exists; drain, STOP
+    _run_until_drained(build, sink, ckpt)
+    leg1 = spark.read.parquet(sink).count()
+
+    # b1 arrives while no query runs; restart from the checkpoint
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        str(src / "b1"))
+    _run_until_drained(build, sink, ckpt)
+
+    ev = spark.read.parquet(sink)
+    assert leg1 < ev.count()
+    folded = sorted(map(tuple, ev.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_syms").alias("n_tokens"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"))
+        .collect()))
+    assert folded == batch
+
+    # multiset equality vs an uninterrupted run
+    sink2 = str(tmp_path / "sink_oneshot")
+    ckpt2 = str(tmp_path / "ckpt_oneshot")
+    _run_until_drained(build, sink2, ckpt2)
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.doc_id), r.w, int(r.n_syms))
+        for r in df.toPandas().itertuples(index=False))
+    assert key(ev) == key(spark.read.parquet(sink2))
