@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_train": Q.doc_bpe_train,
         "doc_seq_pack": Q.doc_seq_pack,
         "doc_bpe_apply": Q.doc_bpe_apply,
+        "doc_lm_score": Q.doc_lm_score,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -130,7 +130,7 @@ def run_bench(sf_dir: str = None, cpus: str = None,
         "image_near_dup_keep_best", "image_augment_flip",
         "image_quality_gate", "image_embed_knn",
         "image_embed_ivf_knn", "doc_bpe_train", "doc_seq_pack",
-        "doc_bpe_apply",
+        "doc_bpe_apply", "doc_lm_score",
     ]
     for name in headline:
         fn = getattr(Q, name)

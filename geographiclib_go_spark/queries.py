@@ -44,6 +44,7 @@ from geographiclib_go_spark.functions import localdf as ldf
 from geographiclib_go_spark.operators import similarity as sim
 from geographiclib_go_spark.operators import spatial_join as sj
 from geographiclib_go_spark.operators import bpe as bpe_op
+from geographiclib_go_spark.operators import lm as lmo
 from geographiclib_go_spark.operators import packing as pk
 from geographiclib_go_spark.operators import text as tx
 from geographiclib_go_spark.operators import tiling
@@ -1322,6 +1323,22 @@ def doc_bpe_apply(spark, sf_dir):
         lambda: bpe_op.train_vocab(docs, rounds=20),
         input_fingerprint=fp)
     return bpe_op.apply_bpe(docs, vocab)
+
+
+def doc_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (operators/lm.py) — the CCNet-shape
+    perplexity signal: every document's average bigram
+    log-probability under add-one-smoothed corpus counts.  Counts
+    are two vocabulary-bounded aggregations; scoring is one join per
+    count table + one aggregate — nothing iterative, nothing
+    corpus-quadratic.  Counts exact BIGINTs; the per-doc float sum
+    rounds to 4 decimals on both engines (ROUND discipline).
+    Oracle: the identical counts + smoothing + rounding in DuckDB
+    (lm.lm_score_oracle_sql); a pure-Python replay is pytest-gated
+    (tests/test_lm.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi = lmo.lm_counts(docs)
+    return lmo.lm_score(docs, uni, bi)
 
 
 def doc_seq_pack(spark, sf_dir):
@@ -4793,3 +4810,5 @@ ORACLE_SQL["doc_bpe_train"] = bpe_op.bpe_oracle_sql(rounds=20)
 ORACLE_SQL["doc_seq_pack"] = pk.seq_pack_oracle_sql()
 
 ORACLE_SQL["doc_bpe_apply"] = bpe_op.bpe_apply_oracle_sql(rounds=20)
+
+ORACLE_SQL["doc_lm_score"] = lmo.lm_score_oracle_sql()
