@@ -413,6 +413,27 @@ def main():
         "partial/final HashAggregate pair is the only exchange.",
         formatted(Q.emb_quality_gate(spark, sf))))
 
+    sections.append((
+        "doc_seq_pack (per-shard packing window, no global sort)",
+        "The running-offset window is partitioned BY SHARD — look "
+        "for Window with partition spec [shard] above an Exchange "
+        "hashpartitioning(shard): shards pack in parallel and no "
+        "single-partition global Sort exists anywhere.  The chunk "
+        "explode and fill arithmetic are codegen expressions; the "
+        "final per-(shard, chunk) rollup is one partial/final "
+        "HashAggregate pair.",
+        formatted(Q.doc_seq_pack(spark, sf))))
+
+    sections.append((
+        "doc_lm_score (vocab-bounded counts, join-and-aggregate)",
+        "The unigram/bigram count subplans each end in one "
+        "partial/final HashAggregate pair (vocabulary-sized "
+        "outputs); scoring is two equi-joins plus the broadcast "
+        "1-row V join (look for BroadcastExchange with a single-row "
+        "HashAggregate input) and one per-doc HashAggregate.  The "
+        "ln/smoothing arithmetic is codegen; no Python anywhere.",
+        formatted(Q.doc_lm_score(spark, sf))))
+
     out = ["# PLANS — formatted physical plans of the headline queries",
            "",
            "Generated by scripts/explain_plans.py (sf0.01, local[8]). "
