@@ -40,15 +40,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # twin plus the decode->embed->ANN bridge pair image_embed_knn /
     # image_embed_ivf_knn are new; the three widened gates, the rewritten
     # image_tile_rebalance, and the snapshot-materializing doc_pagerank
-    # need fresh rows), then 37 of the r3 greens.  The 13 r3 greens
-    # pushed past the cap (ellip_route_nearest, route_distance,
-    # rollup/cube, pivot/unpivot, sphere_distance_buckets, tile_counts,
+    # need fresh rows), then 33 of the r3 greens, then the 4
+    # closing-session additions (BPE train/apply, sequence packing,
+    # LM scoring — no prior official row, so they take draw slots
+    # 47-50).  The 17 r3 greens pushed past the cap
+    # (ellip_route_nearest, route_distance, rollup/cube,
+    # pivot/unpivot, sphere_distance_buckets, tile_counts,
     # tile_pyramid, events_props_sum, events_moving_window,
-    # track_bearing_rose, events_hourly) are each backed by an
-    # EXECUTABLE parity gate — tests/test_rotation_parity.py runs every
-    # out-of-draw rotation casualty against its ORACLE_SQL through
-    # DuckDB — not by a comment (ADVICE r4 item 1).  The 50 r4 greens
-    # close the dict.
+    # track_bearing_rose, events_hourly, raster_coverage,
+    # region_dissolve, ellip/sphere_nearest_landmark) are each backed
+    # by an EXECUTABLE parity gate — tests/test_rotation_parity.py
+    # runs every out-of-draw rotation casualty against its ORACLE_SQL
+    # through DuckDB — not by a comment (ADVICE r4 item 1).  The 50
+    # r4 greens and the displaced four close the dict.
     return {
         # --- r5 draw: r2-evidence + new/changed — 11 ---
         "doc_hll_registers": Q.doc_hll_registers,
@@ -98,10 +102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_salted": Q.tile_counts_salted,
         "pts_geohash_rollup": Q.pts_geohash_rollup,
         "pts_dbscan": Q.pts_dbscan,
-        "raster_coverage": Q.raster_coverage,
-        "region_dissolve": Q.region_dissolve,
-        "ellip_nearest_landmark": Q.ellip_nearest_landmark,
-        "sphere_nearest_landmark": Q.sphere_nearest_landmark,
+        # --- closing-session additions, swapped INTO the draw so the
+        # driver's r5 run gives them official rows (they had none);
+        # the four r3-green queries they displace (raster_coverage,
+        # region_dissolve, ellip_nearest_landmark,
+        # sphere_nearest_landmark) move past the cap and join the
+        # executable tests/test_rotation_parity.py gate ---
+        "doc_bpe_train": Q.doc_bpe_train,
+        "doc_seq_pack": Q.doc_seq_pack,
+        "doc_bpe_apply": Q.doc_bpe_apply,
+        "doc_lm_score": Q.doc_lm_score,
         # --- out of draw: r3 greens, pytest-parity-backed — 13 ---
         "route_distance": Q.route_distance,
         "ellip_route_nearest": Q.ellip_route_nearest,
@@ -163,14 +173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quality_gate": Q.emb_quality_gate,
         "image_near_dup_keep_best": Q.image_near_dup_keep_best,
         "image_augment_flip": Q.image_augment_flip,
-        # --- post-draw addition (r5 close): outside the 50-row cap,
-        # so driver coverage is replaced by the executable three-way
-        # gate in tests/test_bpe.py (Spark == DuckDB ORACLE_SQL ==
-        # pure-Python reference trainer) ---
-        "doc_bpe_train": Q.doc_bpe_train,
-        "doc_seq_pack": Q.doc_seq_pack,
-        "doc_bpe_apply": Q.doc_bpe_apply,
-        "doc_lm_score": Q.doc_lm_score,
+        # --- displaced by the closing-session additions above; r3
+        # official rows + the executable rotation-parity gate ---
+        "raster_coverage": Q.raster_coverage,
+        "region_dissolve": Q.region_dissolve,
+        "ellip_nearest_landmark": Q.ellip_nearest_landmark,
+        "sphere_nearest_landmark": Q.sphere_nearest_landmark,
     }
 
 def oracle_sql() -> dict[str, str]:

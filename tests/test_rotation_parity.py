@@ -36,6 +36,11 @@ ROTATED_OUT = [
     "tile_pyramid", "events_props_sum", "events_moving_window",
     "track_bearing_rose", "events_hourly", "ellip_route_nearest",
     "route_distance",
+    # displaced by the closing-session tokenizer/packing/LM additions
+    # (which had no official row at all and now take draw slots
+    # 47-50); these four keep their r3 official rows plus this gate
+    "raster_coverage", "region_dissolve", "ellip_nearest_landmark",
+    "sphere_nearest_landmark",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
