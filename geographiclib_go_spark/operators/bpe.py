@@ -56,15 +56,25 @@ WORD_RE = "^[A-Za-z0-9]+$"
 _MAXLEN = 2147483647
 
 
+def corpus_words(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, w): one row per alphanumeric word OCCURRENCE — the
+    single word spec (whitespace split, empties dropped, WORD_RE
+    filter) shared by the trainer, the batch tokenizer, and the
+    streaming ingest gate, so the three can never drift."""
+    return (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), WS_REGEX_JAVA),
+                           lambda x: F.length(x) > 0)).alias("w"))
+        .filter(F.col("w").rlike(WORD_RE)))
+
+
 def word_freq(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """(w, n): corpus word-frequency table over alphanumeric
     whitespace tokens — the single corpus-sized stage."""
-    toks = (docs.select(F.explode(
-        F.filter(F.split(F.col(text_col), WS_REGEX_JAVA),
-                 lambda x: F.length(x) > 0)).alias("w"))
-            .filter(F.col("w").rlike(WORD_RE)))
-    return toks.groupBy("w").agg(F.count("*").alias("n"))
+    return (corpus_words(docs, id_col, text_col)
+            .groupBy("w").agg(F.count("*").alias("n")))
 
 
 def _init_words(vf: DataFrame) -> DataFrame:
@@ -93,8 +103,13 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 def _apply_merge(words: DataFrame, best: DataFrame) -> DataFrame:
     """Rebuild every word's symbol array with the round's winning
     (a, b) fused left-to-right; `best` ships as a broadcast 1-row
-    join (empty best => empty result, which terminates training
-    naturally when no pairs remain)."""
+    LEFT join on TRUE, so an EMPTY best (vocabulary exhausted before
+    the requested rounds) leaves a/b NULL and the fold's
+    NULL-condition `when` reproduces every word unchanged — rounds
+    past exhaustion are identity, never a wipe (an earlier crossJoin
+    formulation emptied the table, which was harmless for the merge
+    list but would have persisted an EMPTY vocabulary snapshot for
+    train_vocab/apply_bpe)."""
     folded = F.aggregate(
         F.slice("syms", 2, F.size("syms") - 1),
         F.concat(F.lit(SEP), F.element_at("syms", 1)),
@@ -102,7 +117,8 @@ def _apply_merge(words: DataFrame, best: DataFrame) -> DataFrame:
             F.endswith(acc, F.concat(F.lit(SEP), F.col("a")))
             & (x == F.col("b")),
             F.concat(acc, x)).otherwise(F.concat(acc, F.lit(SEP), x)))
-    return (words.crossJoin(F.broadcast(best.select("a", "b")))
+    return (words.join(F.broadcast(best.select("a", "b")),
+                       F.lit(True), "left")
             .select(F.col("w"),
                     F.split(F.substring(folded, 2, _MAXLEN),
                             "\\" + SEP).alias("syms"),
@@ -165,13 +181,8 @@ def apply_bpe(docs: DataFrame, vocab: DataFrame,
     vocab-sized table (broadcast or shuffle as the optimizer picks;
     every corpus word is present by construction when the vocab was
     trained on the same corpus) + one aggregate — the corpus-sized
-    path never iterates."""
-    dw = (docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.filter(F.split(F.col(text_col),
-                                       WS_REGEX_JAVA),
-                               lambda x: F.length(x) > 0)).alias("w"))
-          .filter(F.col("w").rlike(WORD_RE)))
+    path never iterates.  Word spec shared via corpus_words."""
+    dw = corpus_words(docs, id_col, text_col)
     return (dw.join(vocab.select("w", "n_syms"), "w")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_words"),
@@ -223,7 +234,7 @@ w{r} AS MATERIALIZED (
                                AND x = bb.b
                          THEN acc || x
                          ELSE acc || '{SEP}' || x END) AS folded, n
-    FROM w{p}, b{r} bb
+    FROM w{p} LEFT JOIN b{r} bb ON true
   )
 )""")
     return "".join(parts)

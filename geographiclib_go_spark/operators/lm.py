@@ -62,11 +62,15 @@ def _doc_bigrams(words: DataFrame) -> DataFrame:
 
 
 def lm_counts(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text"):
+              text_col: str = "text", words: DataFrame = None):
     """(unigram counts (w, c), bigram counts (a, b, c)) — the
     vocabulary-bounded LM artifact; persist via plans/lineage for a
-    train-once / score-at-ingest flow."""
-    words = _word_arrays(docs, id_col, text_col)
+    train-once / score-at-ingest flow.  Pass `words` (a
+    _word_arrays frame, ideally a persisted artifact at scale) to
+    share the corpus tokenization with the scoring pass instead of
+    re-deriving it."""
+    if words is None:
+        words = _word_arrays(docs, id_col, text_col)
     uni = (words.select(F.explode("ws").alias("w"))
            .groupBy("w").agg(F.count("*").alias("c")))
     bi = (_doc_bigrams(words).groupBy("a", "b")
@@ -75,20 +79,35 @@ def lm_counts(docs: DataFrame, id_col: str = "doc_id",
 
 
 def lm_score(docs: DataFrame, uni: DataFrame, bi: DataFrame,
-             id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             id_col: str = "doc_id", text_col: str = "text",
+             words: DataFrame = None) -> DataFrame:
     """(doc_id, n_bigrams, logp): per-doc bigram count and total
-    add-one-smoothed log-probability (rounded LOGP_ROUND)."""
+    add-one-smoothed log-probability (rounded LOGP_ROUND).
+
+    Joins are LEFT with zero-coalesce so UNSEEN bigrams and unseen
+    first-words score the smoothed floor ln(1 / (0 + V)) instead of
+    silently dropping — the whole point of add-one smoothing, and
+    what makes the pluggable reference-corpus mode (train on trusted
+    text, score candidates) penalize out-of-distribution documents
+    hardest rather than not at all.  Self-trained counts (the
+    registered query) see every bigram, so there the left joins are
+    value-identical to inner ones."""
     v = uni.agg(F.count("*").alias("_v"))
-    db = _doc_bigrams(_word_arrays(docs, id_col, text_col))
+    if words is None:
+        words = _word_arrays(docs, id_col, text_col)
+    db = _doc_bigrams(words)
     scored = (db
               .join(bi.select(F.col("a"), F.col("b"),
-                              F.col("c").alias("c_ab")), ["a", "b"])
+                              F.col("c").alias("c_ab")),
+                    ["a", "b"], "left")
               .join(uni.select(F.col("w").alias("a"),
-                               F.col("c").alias("c_a")), "a")
+                               F.col("c").alias("c_a")), ["a"],
+                    "left")
               .crossJoin(F.broadcast(v)))
-    lp = F.log((F.col("c_ab") + 1).cast("double")
-               / (F.col("c_a") + F.col("_v")).cast("double"))
+    lp = F.log(
+        (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("_v"))
+        .cast("double"))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.sum(lp), LOGP_ROUND).alias("logp"))
@@ -128,12 +147,12 @@ bi AS MATERIALIZED (
 v AS (SELECT CAST(count(*) AS BIGINT) AS _v FROM uni)
 SELECT db.doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(sum(ln(CAST(bi.c + 1 AS DOUBLE)
-                    / CAST(uni.c + v._v AS DOUBLE))),
+       round(sum(ln(CAST(COALESCE(bi.c, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(uni.c, 0) + v._v AS DOUBLE))),
              {LOGP_ROUND}) AS logp
 FROM db
-JOIN bi ON bi.a = db.a AND bi.b = db.b
-JOIN uni ON uni.w = db.a
+LEFT JOIN bi ON bi.a = db.a AND bi.b = db.b
+LEFT JOIN uni ON uni.w = db.a
 CROSS JOIN v
 GROUP BY db.doc_id
 ORDER BY db.doc_id

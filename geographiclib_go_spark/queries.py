@@ -1337,8 +1337,9 @@ def doc_lm_score(spark, sf_dir):
     (lm.lm_score_oracle_sql); a pure-Python replay is pytest-gated
     (tests/test_lm.py)."""
     docs = _t(spark, sf_dir, "documents")
-    uni, bi = lmo.lm_counts(docs)
-    return lmo.lm_score(docs, uni, bi)
+    words = lmo._word_arrays(docs, "doc_id", "text")
+    uni, bi = lmo.lm_counts(docs, words=words)
+    return lmo.lm_score(docs, uni, bi, words=words)
 
 
 def doc_seq_pack(spark, sf_dir):

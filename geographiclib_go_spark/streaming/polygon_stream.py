@@ -706,13 +706,8 @@ def streaming_bpe_tokenize_events(doc_stream: DataFrame,
     parity and checkpoint kill-and-restart recovery are
     pytest-gated."""
     from geographiclib_go_spark.operators import bpe as bp
-    from geographiclib_go_spark.operators.cms import WS_REGEX_JAVA
 
-    words = (doc_stream.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.filter(F.split(F.col(text_col), WS_REGEX_JAVA),
-                           lambda x: F.length(x) > 0)).alias("w"))
-        .filter(F.col("w").rlike(bp.WORD_RE)))
+    words = bp.corpus_words(doc_stream, id_col, text_col)
     return (words.join(F.broadcast(vocab_df.select("w", "n_syms")),
                        "w")
             .select("doc_id", "w", "n_syms"))

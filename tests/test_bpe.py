@@ -98,16 +98,27 @@ def test_fold_merge_edge_cases(spark):
 
 def test_vocabulary_exhaustion_truncates(spark):
     """Fewer than `rounds` output rows when no adjacent pairs
-    remain, in BOTH engines."""
-    docs = spark.createDataFrame([("d1", "ab ab cd")],
+    remain, in BOTH engines — and rounds past exhaustion are
+    IDENTITY on the vocabulary, never a wipe: train_vocab still
+    returns every word and apply_bpe still tokenizes (the empty-best
+    crossJoin regression the review caught would have persisted an
+    empty vocab snapshot)."""
+    docs = spark.createDataFrame([(1, "ab ab cd")],
                                  ["doc_id", "text"])
     rows = bpe.train_bpe(docs, 6).collect()
     # ab->merge1, cd->merge2, then every word is one symbol
     assert len(rows) == 2
+    vocab = bpe.train_vocab(docs, 6)
+    vrows = {r["w"]: r["n_syms"] for r in vocab.collect()}
+    assert vrows == {"ab": 1, "cd": 1}
+    applied = [tuple(r) for r in bpe.apply_bpe(docs, vocab).collect()]
+    assert applied == [(1, 3, 3, 6)]
     con = duckdb.connect()
-    con.execute("CREATE TABLE documents AS SELECT 'd1' AS doc_id, "
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, "
                 "'ab ab cd' AS text")
     assert len(con.execute(bpe.bpe_oracle_sql(6)).fetchall()) == 2
+    assert con.execute(bpe.bpe_apply_oracle_sql(6)).fetchall() == [
+        (1, 3, 3, 6)]
 
 
 def test_training_is_deterministic(spark, sf_dir):

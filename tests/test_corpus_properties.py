@@ -43,6 +43,20 @@ def test_bpe_oracle_matches_reference_on_random_corpora(texts):
 
 @given(corpus)
 @settings(max_examples=40, deadline=None)
+def test_bpe_apply_oracle_matches_reference_on_random_corpora(texts):
+    """The apply replay must match the reference tokenizer EVEN WHEN
+    rounds exceed merge exhaustion (the identity-round contract) —
+    rounds=6 over tiny corpora regularly exhausts early."""
+    from tests.test_bpe import _py_apply
+    con = duckdb.connect()
+    _docs_table(con, texts)
+    got = sorted(tuple(r) for r in
+                 con.execute(bpe.bpe_apply_oracle_sql(6)).fetchall())
+    assert got == _py_apply(list(enumerate(texts)), 6)
+
+
+@given(corpus)
+@settings(max_examples=40, deadline=None)
 def test_packing_oracle_matches_reference_on_random_corpora(texts):
     con = duckdb.connect()
     _docs_table(con, texts)

@@ -86,14 +86,25 @@ def test_score_discriminates(spark):
 
 def test_reference_lm_is_pluggable(spark):
     """lm_score accepts counts trained on a DIFFERENT corpus (the
-    true CCNet shape): unseen bigrams simply drop from the scored
-    join, and seen ones use the reference counts."""
+    true CCNet shape): unseen bigrams score the smoothed value
+    ln((0 + 1) / (c_a + V)) instead of silently dropping — every
+    doc with bigrams gets a row, and the add-one smoothing actually
+    does its job on out-of-distribution pairs.  Values pinned
+    against hand-computed math."""
     ref = spark.createDataFrame(
         [(0, "a b a b a b")], ["doc_id", "text"])
-    uni, bi = lm.lm_counts(ref)
+    uni, bi = lm.lm_counts(ref)   # V = 2 (a, b)
     target = spark.createDataFrame(
         [(1, "a b zz"), (2, "zz yy")], ["doc_id", "text"])
-    rows = sorted(tuple(r)
-                  for r in lm.lm_score(target, uni, bi).collect())
-    # doc1: only ("a","b") seen -> 1 scored bigram; doc2: none.
-    assert len(rows) == 1 and rows[0][0] == 1 and rows[0][1] == 1
+    rows = {r["doc_id"]: r for r in
+            lm.lm_score(target, uni, bi).collect()}
+    # every doc with >=1 bigram is scored
+    assert set(rows) == {1, 2}
+    # doc1: ("a","b") seen c_ab=3 c_a=3 -> ln(4/5); ("b","zz")
+    # unseen -> ln(1/(3+2)); doc2: ("zz","yy") fully unseen ->
+    # ln(1/(0+2))
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["logp"] == round(math.log(1 / 2), lm.LOGP_ROUND)
+    assert rows[1]["logp"] == round(
+        math.log(4 / 5) + math.log(1 / 5), lm.LOGP_ROUND)
